@@ -1,0 +1,197 @@
+"""SpMV / SpMM: sparse × dense products (north-star N1/N2; absent from the
+reference, whose docs only state the intent — `csr.rs:16-17`).
+
+TPU-native formulation: with static structure, CSR SpMV is
+
+    y = segment_sum(values * x[colind], row_ids, num_segments=nrows)
+
+- the gather ``x[colind]`` and the sorted ``segment_sum`` both map to fast
+  XLA TPU paths (measured ~65 Gelem/s gather on v5e);
+- padding slots carry ``row_id == nrows`` (sentinel) and zero values, so
+  ``segment_sum`` drops them for free;
+- ``row_ids`` are derived from ``rowptr`` once per structure and cached on
+  the matrix? No — recomputed in-jit (one searchsorted over nse, fused).
+
+For SpMM the same pipeline gathers rows of the dense RHS. A Pallas kernel
+path for large matrices lives in ``ops/kernels`` and is selected by
+:func:`spalinalg_tpu.config.Config.use_pallas` once it wins on-hardware.
+
+CSC operands are handled by the mirror identity (CSC of A is CSR of Aᵀ with
+the same arrays): ``A @ x`` scatters into rows — expressed as a segment_sum
+over the minor axis is unsorted, so we instead gather x by the major
+(column) ids and scatter-add by rowind. For performance-critical paths
+convert to CSR once (structure is static; conversion is a one-time sort).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..convert.engine import major_ids_device
+from ..errors import ShapeError
+
+__all__ = ["matmul_dense", "csr_matvec", "csr_matmat", "csc_matvec", "csc_matmat"]
+
+
+def _acc_dtype(values_dtype, x_dtype):
+    d = jnp.result_type(values_dtype, x_dtype)
+    # bf16 inputs accumulate in f32 (MXU/VPU-native accumulation rule).
+    if d == jnp.bfloat16:
+        return jnp.float32
+    return d
+
+
+@partial(jax.jit, static_argnames=("nrows",))
+def _csr_spmv_kernel(rowptr, colind, values, x, *, nrows):
+    nse = colind.shape[0]
+    rows = major_ids_device(rowptr, nse)  # padding -> nrows (dropped below)
+    acc = _acc_dtype(values.dtype, x.dtype)
+    prod = values.astype(acc) * x[colind].astype(acc)
+    y = jax.ops.segment_sum(
+        prod, rows, num_segments=nrows, indices_are_sorted=True
+    )
+    return y
+
+
+@partial(jax.jit, static_argnames=("nrows",))
+def _csr_spmm_kernel(rowptr, colind, values, X, *, nrows):
+    nse = colind.shape[0]
+    rows = major_ids_device(rowptr, nse)
+    acc = _acc_dtype(values.dtype, X.dtype)
+    prod = values.astype(acc)[:, None] * X[colind, :].astype(acc)
+    return jax.ops.segment_sum(
+        prod, rows, num_segments=nrows, indices_are_sorted=True
+    )
+
+
+@partial(jax.jit, static_argnames=("nrows",))
+def _csc_spmv_kernel(colptr, rowind, values, x, *, nrows):
+    nse = rowind.shape[0]
+    cols = major_ids_device(colptr, nse)
+    acc = _acc_dtype(values.dtype, x.dtype)
+    ncols = colptr.shape[0] - 1
+    pad = cols >= ncols
+    xg = jnp.where(pad, jnp.zeros((), acc), x[jnp.where(pad, 0, cols)].astype(acc))
+    prod = values.astype(acc) * xg
+    return jnp.zeros(nrows, dtype=acc).at[rowind].add(
+        jnp.where(pad, jnp.zeros((), acc), prod)
+    )
+
+
+@partial(jax.jit, static_argnames=("nrows",))
+def _csc_spmm_kernel(colptr, rowind, values, X, *, nrows):
+    nse = rowind.shape[0]
+    cols = major_ids_device(colptr, nse)
+    acc = _acc_dtype(values.dtype, X.dtype)
+    ncols = colptr.shape[0] - 1
+    pad = cols >= ncols
+    Xg = X[jnp.where(pad, 0, cols), :].astype(acc)
+    prod = jnp.where(pad[:, None], jnp.zeros((), acc),
+                     values.astype(acc)[:, None] * Xg)
+    return jnp.zeros((nrows, X.shape[1]), dtype=acc).at[rowind].add(prod)
+
+
+# ----------------------------------------------------------------------
+# Plan-based fast path: scatter-free bucketed row reduction (N1 design).
+# Built once per (concrete) structure and cached; the numeric phase is a
+# jitted composition of gathers + dense reductions.
+# ----------------------------------------------------------------------
+
+_ROW_PLAN_CACHE: dict = {}
+_ROW_PLAN_CACHE_MAX = 64
+
+
+def _row_plan(csr):
+    """Segmented-reduction plan over CSR rows (host-built, cached).
+
+    The cache holds a strong reference to the keying ``rowptr`` array so its
+    ``id`` cannot be recycled while the entry lives.
+    """
+    key = (id(csr._ptr), csr.nse, csr.nrows)
+    hit = _ROW_PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    from .reduction import build_segment_reduce_plan
+    import numpy as np
+
+    sizes = np.diff(np.asarray(csr._ptr, dtype=np.int64))
+    plan = build_segment_reduce_plan(sizes)
+    if len(_ROW_PLAN_CACHE) >= _ROW_PLAN_CACHE_MAX:
+        _ROW_PLAN_CACHE.pop(next(iter(_ROW_PLAN_CACHE)))
+    _ROW_PLAN_CACHE[key] = (csr._ptr, plan)
+    return plan
+
+
+def _plan_spmv(plan, colind, values, x):
+    from .reduction import segment_reduce
+
+    acc = _acc_dtype(values.dtype, x.dtype)
+    prod = values.astype(acc) * x[colind].astype(acc)
+    return segment_reduce(plan, prod)
+
+
+def _plan_spmm(plan, colind, values, X):
+    from .reduction import segment_reduce
+
+    acc = _acc_dtype(values.dtype, X.dtype)
+    prod = values.astype(acc)[:, None] * X[colind, :].astype(acc)
+    return segment_reduce(plan, prod)
+
+
+_plan_spmv_jit = jax.jit(_plan_spmv, static_argnums=(0,))
+_plan_spmm_jit = jax.jit(_plan_spmm, static_argnums=(0,))
+
+
+def _structure_concrete(mat) -> bool:
+    return not isinstance(mat._ptr, jax.core.Tracer)
+
+
+def csr_matvec(csr, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` for CSR A (row-segmented reduction, N1).
+
+    Concrete structures use the scatter-free bucketed gather plan (fast
+    path); structures traced under a user jit fall back to the
+    ``segment_sum`` formulation.
+    """
+    if _structure_concrete(csr):
+        return _plan_spmv_jit(_row_plan(csr), csr.colind, csr.values, x)
+    return _csr_spmv_kernel(csr.rowptr, csr.colind, csr.values, x,
+                            nrows=csr.nrows)
+
+
+def csr_matmat(csr, X: jax.Array) -> jax.Array:
+    """``Y = A @ X`` for CSR A and dense tall-skinny X (N2)."""
+    if _structure_concrete(csr):
+        return _plan_spmm_jit(_row_plan(csr), csr.colind, csr.values, X)
+    return _csr_spmm_kernel(csr.rowptr, csr.colind, csr.values, X,
+                            nrows=csr.nrows)
+
+
+def csc_matvec(csc, x: jax.Array) -> jax.Array:
+    return _csc_spmv_kernel(csc.colptr, csc.rowind, csc.values, x,
+                            nrows=csc.nrows)
+
+
+def csc_matmat(csc, X: jax.Array) -> jax.Array:
+    return _csc_spmm_kernel(csc.colptr, csc.rowind, csc.values, X,
+                            nrows=csc.nrows)
+
+
+def matmul_dense(mat, other):
+    """Dispatch ``A @ dense`` to SpMV (1-D rhs) or SpMM (2-D rhs)."""
+    other = jnp.asarray(other) if not isinstance(other, jax.core.Tracer) else other
+    if other.ndim not in (1, 2):
+        raise ShapeError(f"dense rhs must be 1-D or 2-D, got ndim={other.ndim}")
+    if other.shape[0] != mat.ncols:
+        raise ShapeError(
+            f"dimension mismatch: {mat.shape} @ {other.shape} "
+            "(reference: csr/ops/mul.rs:8)"
+        )
+    from ..formats.compressed import CscMatrix
+
+    if isinstance(mat, CscMatrix):
+        return csc_matvec(mat, other) if other.ndim == 1 else csc_matmat(mat, other)
+    return csr_matvec(mat, other) if other.ndim == 1 else csr_matmat(mat, other)

@@ -1,0 +1,155 @@
+"""Matrix partitioning for multi-chip execution (north-star N6).
+
+The reference is single-address-space with zero parallelism (SURVEY.md §2.2);
+this module is the TPU-native scaling axis: **1-D row partitioning** of CSR
+matrices over a ``jax.sharding.Mesh``, the sparse-linalg counterpart of data/
+context parallelism.
+
+Representation: :class:`DistCsr` stores the matrix as *stacked per-shard
+blocks* — ``rowptr (P, rows_per_shard + 1)``, ``colind (P, nse_per_shard)``,
+``values (P, nse_per_shard)`` — sharded along the leading axis. Inside
+``shard_map`` each device sees exactly its local CSR block with **global**
+column indices. Rows and nse are padded per shard (sentinel convention from
+``convert/engine.py``) so every shard has identical static shapes — the SPMD
+requirement.
+
+Communication strategy is chosen per structure at partition time (host):
+- ``"allgather"``: each shard all-gathers the dense operand vector — right
+  for scattered column dependencies (power-law graphs).
+- ``"halo"``: banded structures touch only neighbouring shards' entries;
+  shards exchange fixed-width halo slabs with ``ppermute`` (left+right),
+  overlapping with local compute (XLA async collectives).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dtypes import INDEX_DTYPE
+
+__all__ = ["DistCsr", "partition_csr", "make_row_mesh"]
+
+
+def make_row_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    """1-D device mesh over all (or the first ``n_devices``) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+@dataclass(frozen=True, eq=False)
+class DistCsr:
+    """Row-partitioned CSR over a 1-D mesh (stacked-block layout)."""
+
+    nrows: int              # global logical rows (un-padded)
+    ncols: int
+    rows_per_shard: int     # padded local row count
+    rowptr: jax.Array       # (P, rows_per_shard + 1) int32, sharded on axis 0
+    colind: jax.Array       # (P, nse_per_shard) int32 — GLOBAL column ids
+    values: jax.Array       # (P, nse_per_shard)
+    mesh: Mesh
+    axis: str
+    comm: str               # "allgather" | "halo"
+    halo_width: int         # valid when comm == "halo": max |col - row_block|
+
+    @property
+    def n_shards(self) -> int:
+        return self.rowptr.shape[0]
+
+    @property
+    def nse_per_shard(self) -> int:
+        return self.colind.shape[1]
+
+    def tree_flatten(self):
+        return (self.rowptr, self.colind, self.values), (
+            self.nrows, self.ncols, self.rows_per_shard, self.mesh,
+            self.axis, self.comm, self.halo_width,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rowptr, colind, values = children
+        nrows, ncols, rps, mesh, axis, comm, halo = aux
+        return cls(nrows, ncols, rps, rowptr, colind, values, mesh, axis,
+                   comm, halo)
+
+
+jax.tree_util.register_pytree_node(
+    DistCsr,
+    lambda d: d.tree_flatten(),
+    DistCsr.tree_unflatten,
+)
+
+
+def partition_csr(
+    csr,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    comm: Optional[str] = None,
+) -> DistCsr:
+    """Partition a (host-concrete) CSR matrix row-wise over ``mesh``.
+
+    Host-side structure work, once per matrix: slice rows into P equal
+    blocks (padded), equalise per-shard nse with sentinel padding, choose
+    the communication strategy from the bandwidth of the structure unless
+    forced via ``comm``.
+    """
+    P_ = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    ptr = np.asarray(csr._ptr, dtype=np.int64)
+    minor = np.asarray(csr._minor, dtype=np.int64)
+    vals = np.asarray(csr._values)
+    nnz = int(ptr[-1])
+    minor, vals = minor[:nnz], vals[:nnz]
+
+    nrows, ncols = csr.nrows, csr.ncols
+    rows_per = -(-nrows // P_)
+
+    # Per-shard row ranges and entry counts.
+    row_starts = np.minimum(np.arange(P_ + 1) * rows_per, nrows)
+    ent_starts = ptr[row_starts]
+    local_nse = int((ent_starts[1:] - ent_starts[:-1]).max()) if P_ else 0
+    local_nse = max(local_nse, 1)
+
+    rp = np.zeros((P_, rows_per + 1), dtype=np.int64)
+    ci = np.zeros((P_, local_nse), dtype=np.int64)
+    vv = np.zeros((P_, local_nse), dtype=vals.dtype)
+    halo = 0
+    for p in range(P_):
+        r0, r1 = int(row_starts[p]), int(row_starts[p + 1])
+        e0, e1 = int(ent_starts[p]), int(ent_starts[p + 1])
+        n_loc_rows = r1 - r0
+        rp[p, : n_loc_rows + 1] = ptr[r0 : r1 + 1] - e0
+        rp[p, n_loc_rows + 1 :] = e1 - e0  # padded rows are empty
+        ci[p, : e1 - e0] = minor[e0:e1]
+        vv[p, : e1 - e0] = vals[e0:e1]
+        if e1 > e0:
+            lo = int(minor[e0:e1].min()) - r0
+            hi = int(minor[e0:e1].max()) - (r1 - 1)
+            halo = max(halo, -lo, hi, 0)
+
+    if comm is None:
+        # Banded enough that two halo slabs beat a full all-gather?
+        comm = "halo" if halo <= rows_per // 2 else "allgather"
+
+    spec_row = NamedSharding(mesh, P(axis))
+    return DistCsr(
+        nrows=nrows,
+        ncols=ncols,
+        rows_per_shard=rows_per,
+        rowptr=jax.device_put(jnp.asarray(rp, dtype=INDEX_DTYPE), spec_row),
+        colind=jax.device_put(jnp.asarray(ci, dtype=INDEX_DTYPE), spec_row),
+        values=jax.device_put(jnp.asarray(vv), spec_row),
+        mesh=mesh,
+        axis=axis,
+        comm=comm,
+        halo_width=int(halo),
+    )

@@ -1,0 +1,39 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY.md §4 "multi-node testing"):
+CPU gives native f64 (the reference's primary scalar type) and lets
+distributed-parity tests exercise real multi-device shardings without TPU
+hardware.
+
+Note: this environment injects a ``sitecustomize`` that imports jax and
+registers the TPU ("axon") plugin in every interpreter, so mutating
+``JAX_PLATFORMS`` here is too late — the backend choice must go through
+``jax.config`` (safe: backends initialise lazily on first use).
+``XLA_FLAGS`` is still read at backend init, so the forced device count can
+be set via the environment.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
