@@ -1,0 +1,25 @@
+"""Factorization + solver tier (north-star N5 and the iterative consumers)."""
+
+from .cg import CgResult, cg
+from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
+from .lu import LuFactor, lu, lu_solve
+from .ordering import bandwidth, level_schedule, rcm_ordering
+from .triangular import TriangularPlan, plan_triangular, solve_triangular_csr
+from .banded import (
+    BandCholeskyFactor,
+    BandLuFactor,
+    band_cholesky_factor,
+    band_cholesky_solve,
+    band_lu_factor,
+    band_lu_solve,
+)
+
+__all__ = [
+    "cg", "CgResult",
+    "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
+    "lu", "lu_solve", "LuFactor",
+    "rcm_ordering", "bandwidth", "level_schedule",
+    "solve_triangular_csr", "plan_triangular", "TriangularPlan",
+    "band_cholesky_factor", "band_cholesky_solve", "BandCholeskyFactor",
+    "band_lu_factor", "band_lu_solve", "BandLuFactor",
+]

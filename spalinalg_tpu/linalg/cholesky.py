@@ -1,0 +1,125 @@
+"""Sparse Cholesky factorization (north-star N5; reference has only the
+documented intent, `csr.rs:16-17`).
+
+Pipeline (SURVEY.md §7 phase 5, "supernodal blocking mapped to dense
+panels"):
+
+1. **Symbolic (host, once)**: RCM ordering compresses the band; the half
+   bandwidth of the permuted matrix fixes the dense-panel window.
+2. **Numeric (device)**: blocked banded Cholesky — dense ``nb×nb``
+   Cholesky + ``b×nb`` triangular solve + ``b×b`` syrk per panel inside a
+   ``lax.scan`` (`banded.py`), all MXU-shaped.
+3. **Solve (device)**: two panelled triangular sweeps.
+
+For stencil Laplacians (BASELINE config[3]) RCM yields the natural
+grid-width band and the panels are dense — exactly the structure the MXU
+wants. Matrices whose RCM band is a large fraction of n fall back to a
+dense Cholesky (they are effectively dense after fill-in anyway).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import INDEX_DTYPE
+from ..convert.engine import compress_host
+from ..errors import ShapeError
+from .banded import BandCholeskyFactor, band_cholesky_factor, band_cholesky_solve
+from .ordering import bandwidth as _bandwidth, rcm_ordering
+
+__all__ = ["CholeskyFactor", "cholesky", "cholesky_solve", "permute_csr"]
+
+
+def permute_csr(csr, perm: np.ndarray):
+    """Symmetric permutation ``A[perm][:, perm]`` (host structure work)."""
+    from ..formats.compressed import CsrMatrix
+
+    perm = np.asarray(perm, dtype=np.int64)
+    n = csr.nrows
+    if perm.shape != (n,):
+        raise ShapeError(f"permutation must have length {n}")
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+    ptr = np.asarray(csr._ptr, dtype=np.int64)
+    ind = np.asarray(csr._minor, dtype=np.int64)[: int(ptr[-1])]
+    val = np.asarray(csr._values)[: int(ptr[-1])]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    new_ptr, new_ind, new_val = compress_host(
+        iperm[rows], iperm[ind], val, n, dedup=False, drop_zeros=False
+    )
+    return CsrMatrix._from_parts(
+        n, csr.ncols,
+        jnp.asarray(new_ptr, dtype=INDEX_DTYPE),
+        jnp.asarray(new_ind, dtype=INDEX_DTYPE),
+        jnp.asarray(new_val),
+    )
+
+
+@dataclass(frozen=True, eq=False)
+class CholeskyFactor:
+    """Factorization result: ordering + banded panel factor (or dense)."""
+
+    n: int
+    perm: Optional[np.ndarray]          # None -> natural order
+    band: Optional[BandCholeskyFactor]  # panelled factor
+    dense_l: Optional[jax.Array]        # dense fallback factor
+
+    @property
+    def is_dense(self) -> bool:
+        return self.dense_l is not None
+
+
+def cholesky(csr, *, reorder: bool = True, panel: int = 64,
+             dense_threshold: float = 0.45) -> CholeskyFactor:
+    """Factor an SPD CSR matrix ``A = L Lᵀ``.
+
+    ``reorder=False`` keeps the natural ordering (band already tight).
+    ``dense_threshold``: if the (permuted) half-bandwidth exceeds this
+    fraction of n, densify instead — the band algorithm would touch nearly
+    every entry anyway.
+    """
+    if csr.nrows != csr.ncols:
+        raise ShapeError(f"Cholesky needs a square matrix, got {csr.shape}")
+    n = csr.nrows
+
+    perm = None
+    mat = csr
+    bw = _bandwidth(csr)
+    if reorder:
+        p = rcm_ordering(csr)
+        pm = permute_csr(csr, p)
+        pbw = _bandwidth(pm)
+        if pbw < bw:
+            perm, mat, bw = p, pm, pbw
+
+    if n <= 2 or bw >= max(2, int(dense_threshold * n)):
+        dense = mat.to_dense()
+        return CholeskyFactor(n=n, perm=perm,
+                              band=None, dense_l=jnp.linalg.cholesky(dense))
+
+    fac = band_cholesky_factor(mat, bandwidth=bw, panel=panel)
+    return CholeskyFactor(n=n, perm=perm, band=fac, dense_l=None)
+
+
+def cholesky_solve(fac: CholeskyFactor, b) -> jax.Array:
+    """Solve ``A x = b`` given a :func:`cholesky` factor."""
+    b = jnp.asarray(b)
+    bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
+    if fac.is_dense:
+        from jax.scipy.linalg import solve_triangular
+
+        y = solve_triangular(fac.dense_l, bp, lower=True)
+        xp = solve_triangular(fac.dense_l.T, y, lower=False)
+    else:
+        xp = band_cholesky_solve(fac.band, bp)
+    if fac.perm is not None:
+        iperm = np.empty(fac.n, dtype=np.int64)
+        iperm[fac.perm] = np.arange(fac.n)
+        return xp[jnp.asarray(iperm)]
+    return xp

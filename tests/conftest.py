@@ -13,17 +13,10 @@ registers the TPU ("axon") plugin in every interpreter, so mutating
 be set via the environment.
 """
 
-import os
-
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402  (already imported by sitecustomize anyway)
+import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,134 @@
+"""I/O tier tests: Matrix Market round-trip, npz checkpoint/resume, scipy
+bridges, metrics/roofline utilities."""
+
+import io as _io
+
+import numpy as np
+import pytest
+
+from spalinalg_tpu import CooMatrix, CsrMatrix
+from spalinalg_tpu.io import (
+    from_scipy,
+    load_npz,
+    read_matrix_market,
+    save_npz,
+    to_scipy,
+    write_matrix_market,
+)
+from spalinalg_tpu.utils.metrics import MetricsRecorder, roofline_model
+
+
+class TestMatrixMarket:
+    def test_roundtrip(self, tmp_path, rng):
+        coo = CooMatrix.with_entries(5, 4, [(0, 0, 1.5), (2, 3, -2.25),
+                                            (4, 1, 7.0)])
+        p = tmp_path / "m.mtx"
+        write_matrix_market(p, coo)
+        back = read_matrix_market(p)
+        np.testing.assert_allclose(back.to_dense(), coo.to_dense(), rtol=0)
+
+    def test_write_csr(self, tmp_path):
+        csr = CsrMatrix.eye(3)
+        p = tmp_path / "eye.mtx"
+        write_matrix_market(p, csr)
+        back = read_matrix_market(p)
+        np.testing.assert_array_equal(back.to_dense(), np.eye(3))
+
+    def test_symmetric_expansion(self, tmp_path):
+        p = tmp_path / "s.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real symmetric\n"
+            "3 3 3\n"
+            "1 1 2.0\n"
+            "2 1 -1.0\n"
+            "3 3 4.0\n"
+        )
+        m = read_matrix_market(p)
+        expected = np.array([[2, -1, 0], [-1, 0, 0], [0, 0, 4.0]])
+        np.testing.assert_allclose(m.to_dense(), expected)
+
+    def test_pattern_field(self, tmp_path):
+        p = tmp_path / "p.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate pattern general\n"
+            "2 2 2\n1 1\n2 2\n"
+        )
+        m = read_matrix_market(p)
+        np.testing.assert_array_equal(m.to_dense(), np.eye(2))
+
+    def test_bad_header_raises(self, tmp_path):
+        from spalinalg_tpu.errors import SpalinalgError
+        p = tmp_path / "bad.mtx"
+        p.write_text("nope\n")
+        with pytest.raises(SpalinalgError):
+            read_matrix_market(p)
+
+
+class TestCheckpoint:
+    def test_roundtrip_all_formats(self, tmp_path, rng):
+        from spalinalg_tpu import CscMatrix, DokMatrix
+
+        d = np.where(rng.random((8, 8)) < 0.4, rng.normal(size=(8, 8)), 0)
+        coo = CooMatrix.with_triplets(
+            8, 8, *np.nonzero(d), d[np.nonzero(d)], dtype=np.float64
+        )
+        mats = {
+            "coo": coo,
+            "dok": DokMatrix.with_entries(8, 8, list(coo)),
+            "csr": CsrMatrix.from_coo(coo),
+            "csc": CscMatrix.from_coo(coo),
+        }
+        for name, m in mats.items():
+            p = tmp_path / f"{name}.npz"
+            save_npz(p, m)
+            back = load_npz(p)
+            assert type(back) is type(m)
+            np.testing.assert_allclose(np.asarray(back.to_dense()),
+                                       np.asarray(m.to_dense()), rtol=1e-15)
+
+    def test_bsr_roundtrip(self, tmp_path, rng):
+        d = np.where(rng.random((16, 16)) < 0.3, rng.normal(size=(16, 16)), 0)
+        csr = CooMatrix.with_triplets(
+            16, 16, *np.nonzero(d), d[np.nonzero(d)], dtype=np.float64
+        )
+        bsr = CsrMatrix.from_coo(csr).to_bsr(4)
+        p = tmp_path / "b.npz"
+        save_npz(p, bsr)
+        back = load_npz(p)
+        np.testing.assert_allclose(np.asarray(back.to_dense()),
+                                   np.asarray(bsr.to_dense()))
+        assert back.blocksize == (4, 4)
+
+
+class TestScipy:
+    def test_csr_bridge(self, rng):
+        sps = pytest.importorskip("scipy.sparse")
+        d = np.where(rng.random((6, 7)) < 0.4, rng.normal(size=(6, 7)), 0)
+        s = sps.csr_matrix(d)
+        ours = from_scipy(s)
+        assert isinstance(ours, CsrMatrix)
+        np.testing.assert_allclose(np.asarray(ours.to_dense()), d)
+        back = to_scipy(ours)
+        np.testing.assert_allclose(back.toarray(), d)
+
+
+class TestMetrics:
+    def test_recorder(self):
+        rec = MetricsRecorder()
+        with rec.measure("spmv", nnz=1000):
+            pass
+        assert rec.records[0].op == "spmv"
+        assert rec.records[0].nnz == 1000
+        assert rec.summary()["spmv"]["count"] == 1
+
+    def test_jsonl_stream(self):
+        buf = _io.StringIO()
+        rec = MetricsRecorder(jsonl_stream=buf)
+        with rec.measure("add", nnz=5):
+            pass
+        assert '"op": "add"' in buf.getvalue()
+
+    def test_roofline_model(self):
+        r = roofline_model("spmv", nnz=10**6, generation="v5e")
+        assert r["bytes_per_nnz"] == 12.0
+        assert r["peak_nnz_per_s"] > 5e10

@@ -1,0 +1,120 @@
+"""Distributed-tier tests (N6/N7): N-device row-partitioned SpMV must match
+the single-device result (SURVEY.md §4 parity contract) on a virtual
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spalinalg_tpu import CooMatrix, CsrMatrix
+from spalinalg_tpu.parallel.partition import make_row_mesh, partition_csr
+from spalinalg_tpu.parallel.spmv import (
+    dist_dot,
+    dist_spmv,
+    shard_vector,
+    unshard_vector,
+)
+
+
+def _random_csr(rng, n, m, density=0.05):
+    d = np.where(rng.random((n, m)) < density, rng.normal(size=(n, m)), 0)
+    coo = CooMatrix(n, m)
+    for i, j in zip(*np.nonzero(d)):
+        coo.push(int(i), int(j), float(d[i, j]))
+    return CsrMatrix.from_coo(coo), d
+
+
+def _banded_csr(n, bw=3):
+    coo = CooMatrix(n, n)
+    rng = np.random.default_rng(0)
+    d = np.zeros((n, n))
+    for i in range(n):
+        for j in range(max(0, i - bw), min(n, i + bw + 1)):
+            v = float(rng.normal())
+            coo.push(i, j, v)
+            d[i, j] = v
+    return CsrMatrix.from_coo(coo), d
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    return make_row_mesh(8)
+
+
+class TestPartition:
+    def test_partition_shapes(self, rng, mesh):
+        a, _ = _random_csr(rng, 100, 100)
+        dist = partition_csr(a, mesh)
+        assert dist.n_shards == 8
+        assert dist.rows_per_shard == 13  # ceil(100/8)
+        assert dist.rowptr.shape == (8, 14)
+
+    def test_banded_selects_halo(self, mesh):
+        a, _ = _banded_csr(64, bw=2)
+        dist = partition_csr(a, mesh)
+        assert dist.comm == "halo"
+        assert dist.halo_width <= 2
+
+    def test_random_selects_allgather(self, rng, mesh):
+        a, _ = _random_csr(rng, 64, 64, density=0.2)
+        dist = partition_csr(a, mesh)
+        assert dist.comm == "allgather"
+
+
+class TestDistSpmv:
+    def test_allgather_parity(self, rng, mesh):
+        a, d = _random_csr(rng, 100, 100)
+        dist = partition_csr(a, mesh, comm="allgather")
+        x = rng.normal(size=100)
+        xs = shard_vector(x, dist)
+        y = unshard_vector(dist_spmv(dist, xs), dist)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-12)
+
+    def test_halo_parity(self, mesh):
+        a, d = _banded_csr(96, bw=3)
+        dist = partition_csr(a, mesh, comm="halo")
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=96)
+        xs = shard_vector(x, dist)
+        y = unshard_vector(dist_spmv(dist, xs), dist)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-12)
+
+    def test_single_vs_multi_device_bitwise_class(self, rng, mesh):
+        # N-device result equals the single-chip kernel within f64 tolerance
+        a, d = _random_csr(rng, 80, 80)
+        x = rng.normal(size=80)
+        y1 = np.asarray(a @ x)
+        dist = partition_csr(a, mesh)
+        y8 = np.asarray(unshard_vector(dist_spmv(dist, shard_vector(x, dist)),
+                                       dist))
+        np.testing.assert_allclose(y8, y1, rtol=1e-13)
+
+    def test_nondivisible_rows(self, rng, mesh):
+        a, d = _random_csr(rng, 59, 59)  # 59 not divisible by 8
+        dist = partition_csr(a, mesh)
+        x = rng.normal(size=59)
+        y = unshard_vector(dist_spmv(dist, shard_vector(x, dist)), dist)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-12)
+
+    def test_jit_dist_spmv(self, rng, mesh):
+        a, d = _random_csr(rng, 64, 64)
+        dist = partition_csr(a, mesh)
+        x = rng.normal(size=64)
+        xs = shard_vector(x, dist)
+        f = jax.jit(lambda v: dist_spmv(dist, v))
+        y = unshard_vector(f(xs), dist)
+        np.testing.assert_allclose(np.asarray(y), d @ x, rtol=1e-12)
+
+
+class TestDistDot:
+    def test_dot_parity(self, rng, mesh):
+        a, _ = _random_csr(rng, 64, 64)
+        dist = partition_csr(a, mesh)
+        u = rng.normal(size=64)
+        v = rng.normal(size=64)
+        us, vs = shard_vector(u, dist, by="rows"), shard_vector(v, dist, by="rows")
+        got = float(dist_dot(us, vs, dist))
+        np.testing.assert_allclose(got, u @ v, rtol=1e-12)
