@@ -38,6 +38,7 @@ from .formats.coo import CooMatrix  # noqa: E402
 from .formats.dok import DokMatrix  # noqa: E402
 from .formats.compressed import CscMatrix, CsrMatrix  # noqa: E402
 from .formats.bsr import BsrMatrix  # noqa: E402
+from .formats.device import DeviceCoo  # noqa: E402
 from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: E402
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
 
@@ -49,6 +50,7 @@ __all__ = [
     "CsrMatrix",
     "CscMatrix",
     "BsrMatrix",
+    "DeviceCoo",
     "Config",
     "default_config",
     "SpalinalgError",

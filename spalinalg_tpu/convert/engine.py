@@ -77,6 +77,16 @@ def compress_host(
     minor = np.asarray(minor, dtype=np.int64)
     values = np.asarray(values)
 
+    # Native fast path (f64 values, summing semantics): C++ sort+merge.
+    if sum_duplicates and values.dtype == np.float64 and major.size > 4096:
+        from ..native import lib as _native
+
+        if _native.available():
+            return _native.compress(
+                major, minor, values, n_major,
+                dedup=dedup, drop_zeros=drop_zeros,
+            )
+
     order = np.lexsort((minor, major))
     major, minor, values = major[order], minor[order], values[order]
 

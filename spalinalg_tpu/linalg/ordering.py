@@ -28,6 +28,13 @@ def rcm_ordering(csr) -> np.ndarray:
     ptr = np.asarray(csr._ptr, dtype=np.int64)
     ind = np.asarray(csr._minor, dtype=np.int64)[: int(ptr[-1])]
     n = csr.nrows
+
+    if n > 2048:
+        from ..native import lib as _native
+
+        if _native.available():
+            return _native.rcm(ptr, ind, n)
+
     deg = np.diff(ptr)
     visited = np.zeros(n, dtype=bool)
     order = []

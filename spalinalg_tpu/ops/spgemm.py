@@ -88,6 +88,24 @@ def spgemm_plan(a, b) -> SpgemmPlan:
     bptr, bcol = _csr_host_arrays(b)
     nnz_a = acol.size
 
+    if nnz_a > 4096:
+        from ..native import lib as _native
+
+        if _native.available():
+            a_idx, b_idx, gid, rowptr, colind = _native.spgemm_symbolic(
+                aptr, acol, a.nrows, bptr, bcol, b.ncols
+            )
+            return SpgemmPlan(
+                nrows=a.nrows,
+                ncols=b.ncols,
+                a_idx=jnp.asarray(a_idx, dtype=INDEX_DTYPE),
+                b_idx=jnp.asarray(b_idx, dtype=INDEX_DTYPE),
+                gid=jnp.asarray(gid, dtype=INDEX_DTYPE),
+                rowptr=jnp.asarray(rowptr, dtype=INDEX_DTYPE),
+                colind=jnp.asarray(colind, dtype=INDEX_DTYPE),
+                n_out=int(colind.size),
+            )
+
     arow = np.repeat(np.arange(a.nrows, dtype=np.int64), np.diff(aptr))
     # Expansion: term t couples A-entry j with the t-th entry of B-row k_j.
     k = acol                                     # (nnz_a,) inner index per A entry
