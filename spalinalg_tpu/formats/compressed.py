@@ -162,6 +162,28 @@ class _CompressedMatrix:
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_dense(cls, dense, *, drop_zeros: bool = True):
+        """Compress a dense host/device array (zeros dropped by default)."""
+        from ..convert.engine import compress_host
+
+        d = np.asarray(dense)
+        if d.ndim != 2:
+            raise ShapeError(f"dense input must be 2-D, got shape {d.shape}")
+        rows, cols = np.nonzero(d) if drop_zeros else np.indices(d.shape).reshape(2, -1)
+        vals = d[rows, cols]
+        n_major = cls._major_dim(*d.shape)
+        major, minor = (rows, cols) if cls._MAJOR_AXIS == 0 else (cols, rows)
+        ptr, minor, values = compress_host(
+            major, minor, vals, n_major, dedup=False, drop_zeros=False
+        )
+        return cls._from_parts(
+            d.shape[0], d.shape[1],
+            jnp.asarray(ptr, dtype=INDEX_DTYPE),
+            jnp.asarray(minor, dtype=INDEX_DTYPE),
+            jnp.asarray(values),
+        )
+
+    @classmethod
     def eye(cls, size: int, *, dtype=np.float64) -> "_CompressedMatrix":
         """Identity matrix (reference ``eye``, csr.rs:179-198)."""
         dtype = canonical_value_dtype(dtype)
@@ -380,6 +402,36 @@ class CsrMatrix(_CompressedMatrix):
 
     Structure arrays: ``rowptr`` (nrows+1), ``colind`` (nse), ``values``
     (nse). Minor (column) indices are strictly increasing within each row.
+
+    Examples
+    --------
+    The 4x4 example from the reference docs (`csr.rs:24-63`):
+
+    >>> from spalinalg_tpu import CsrMatrix
+    >>> m = CsrMatrix(4, 4, [0, 2, 3, 5, 6], [0, 2, 1, 2, 3, 3],
+    ...               [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    >>> m.nnz
+    6
+    >>> list(m)[:2]
+    [(0, 0, 1.0), (0, 2, 2.0)]
+
+    SpMV / SpGEMM / union-add on device:
+
+    >>> import numpy as np
+    >>> y = m @ np.ones(4)
+    >>> np.asarray(y).tolist()
+    [3.0, 3.0, 9.0, 6.0]
+    >>> (m + m).nnz
+    6
+    >>> (m * m).shape
+    (4, 4)
+
+    Transpose and format conversion share one device engine:
+
+    >>> m.transpose().shape
+    (4, 4)
+    >>> type(m.to_csc()).__name__
+    'CscMatrix'
     """
 
     _MAJOR_AXIS = 0

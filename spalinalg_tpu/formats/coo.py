@@ -45,6 +45,35 @@ class CooMatrix:
     Mirrors the capability surface of ``spalinalg::CooMatrix``
     (`coo.rs:53-804`): incremental build with duplicates allowed and
     insertion order preserved.
+
+    Examples
+    --------
+    Incremental build, then compress for compute (the canonical pipeline):
+
+    >>> from spalinalg_tpu import CooMatrix, CsrMatrix
+    >>> coo = CooMatrix(2, 3)
+    >>> coo.push(0, 0, 1.0)
+    >>> coo.push(1, 2, 2.0)
+    >>> coo.push(0, 0, 0.5)          # duplicates allowed
+    >>> coo.length
+    3
+    >>> csr = CsrMatrix.from_coo(coo)   # duplicates summed here
+    >>> csr.nnz
+    2
+
+    Vec-like mutation (`coo.rs:431-489`):
+
+    >>> coo.pop()
+    (0, 0, 0.5)
+    >>> coo.clear(); coo.length
+    0
+
+    Concatenation arithmetic (`coo.rs:751-804`):
+
+    >>> a = CooMatrix.with_entries(2, 2, [(0, 0, 1.0)])
+    >>> b = CooMatrix.with_entries(2, 2, [(0, 0, 2.0)])
+    >>> list(a + b)
+    [(0, 0, 1.0), (0, 0, 2.0)]
     """
 
     __slots__ = ("_nrows", "_ncols", "_rows", "_cols", "_vals", "_len", "_dtype")
@@ -211,7 +240,7 @@ class CooMatrix:
         return (
             int(self._rows[index]),
             int(self._cols[index]),
-            self._dtype.type(self._vals[index]),
+            float(self._vals[index]),
         )
 
     def set_value(self, index: int, value) -> None:
@@ -256,7 +285,7 @@ class CooMatrix:
         return (
             int(self._rows[i]),
             int(self._cols[i]),
-            self._dtype.type(self._vals[i]),
+            float(self._vals[i]),
         )
 
     def clear(self) -> None:
@@ -278,7 +307,7 @@ class CooMatrix:
             yield (
                 int(self._rows[i]),
                 int(self._cols[i]),
-                self._dtype.type(self._vals[i]),
+                float(self._vals[i]),
             )
 
     __iter__ = iter

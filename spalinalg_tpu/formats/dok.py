@@ -32,7 +32,31 @@ __all__ = ["DokMatrix"]
 
 
 class DokMatrix:
-    """Hash-map sparse matrix (host builder), mirroring ``spalinalg::DokMatrix``."""
+    """Hash-map sparse matrix (host builder), mirroring ``spalinalg::DokMatrix``.
+
+    Examples
+    --------
+    Keyed access with overwrite-on-insert (`dok.rs:462-482`):
+
+    >>> from spalinalg_tpu import DokMatrix
+    >>> m = DokMatrix(2, 2)
+    >>> m.insert(0, 1, 3.0) is None
+    True
+    >>> m.insert(0, 1, 4.0)     # returns the previous value
+    3.0
+    >>> m.get(0, 1)
+    4.0
+    >>> m.contains(1, 0)
+    False
+
+    Merge arithmetic keeps cancelled sums as stored zeros
+    (`dok.rs:722-752`):
+
+    >>> a = DokMatrix.with_entries(2, 2, [(0, 0, 1.0)])
+    >>> b = DokMatrix.with_entries(2, 2, [(0, 0, -1.0)])
+    >>> (a + b).get(0, 0)
+    0.0
+    """
 
     __slots__ = ("_nrows", "_ncols", "_map", "_dtype")
 
@@ -167,20 +191,20 @@ class DokMatrix:
         """Stored value at ``(row, col)`` or ``None`` (dok.rs:416-437)."""
         self._check_key(row, col)
         val = self._map.get((row, col))
-        return None if val is None else self._dtype.type(val)
+        return None if val is None else float(val)
 
     def insert(self, row: int, col: int, value) -> Optional[float]:
         """Insert/overwrite; returns the previous value if any (dok.rs:462-482)."""
         self._check_key(row, col)
         old = self._map.get((row, col))
         self._map[(row, col)] = self._dtype.type(value)
-        return None if old is None else self._dtype.type(old)
+        return None if old is None else float(old)
 
     def remove(self, row: int, col: int) -> Optional[float]:
         """Remove an entry, returning it if present (idiomatic dict surface)."""
         self._check_key(row, col)
         old = self._map.pop((row, col), None)
-        return None if old is None else self._dtype.type(old)
+        return None if old is None else float(old)
 
     def clear(self) -> None:
         """Remove all entries (dok.rs:484-501)."""
@@ -198,7 +222,7 @@ class DokMatrix:
     def iter(self) -> Iterator[Tuple[int, int, float]]:
         """Iterate stored entries (unordered, dok.rs:503-522)."""
         for (row, col), value in self._map.items():
-            yield (row, col, self._dtype.type(value))
+            yield (row, col, float(value))
 
     __iter__ = iter
 

@@ -24,29 +24,53 @@ class CgResult(NamedTuple):
     residual: jax.Array     # final ||r||
 
 
-def _cg_loop(matvec, dot, b, x0, tol, maxiter):
+def _cg_loop(matvec, dot, b, x0, tol, maxiter, precond=None):
+    """(Preconditioned) CG inside one ``lax.while_loop``."""
+    psolve = precond if precond is not None else (lambda r: r)
     r0 = b - matvec(x0)
+    z0 = psolve(r0)
 
     def cond(state):
-        x, r, p, rs, k = state
-        return jnp.logical_and(k < maxiter, rs > tol * tol)
+        x, r, z, p, rz, rr, k = state
+        return jnp.logical_and(k < maxiter, rr > tol * tol)
 
     def body(state):
-        x, r, p, rs, k = state
+        x, r, z, p, rz, rr, k = state
         ap = matvec(p)
-        alpha = rs / dot(p, ap)
+        alpha = rz / dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = dot(r, r)
-        beta = rs_new / rs
-        p = r + beta * p
-        return (x, r, p, rs_new, k + 1)
+        z = psolve(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, dot(r, r), k + 1)
 
-    rs0 = dot(r0, r0)
-    x, r, p, rs, k = jax.lax.while_loop(
-        cond, body, (x0, r0, r0, rs0, jnp.zeros((), jnp.int32))
+    rz0 = dot(r0, z0)
+    rr0 = dot(r0, r0)
+    x, r, z, p, rz, rr, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, rr0, jnp.zeros((), jnp.int32))
     )
-    return CgResult(x=x, iterations=k, residual=jnp.sqrt(rs))
+    return CgResult(x=x, iterations=k, residual=jnp.sqrt(rr))
+
+
+def _jacobi_precond(A):
+    """Inverse-diagonal preconditioner from a CSR/BSR matrix (host setup)."""
+    import numpy as np
+
+    from ..formats.compressed import CsrMatrix
+
+    if not isinstance(A, CsrMatrix):
+        A = A.to_csr() if hasattr(A, "to_csr") else A
+    ptr = np.asarray(A._ptr, dtype=np.int64)
+    minor = np.asarray(A._minor, dtype=np.int64)[: int(ptr[-1])]
+    vals = np.asarray(A._values)[: int(ptr[-1])]
+    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), np.diff(ptr))
+    diag = np.ones(A.nrows, dtype=vals.dtype)
+    m = rows == minor
+    diag[rows[m]] = vals[m]
+    inv = jnp.asarray(np.where(diag != 0, 1.0 / diag, 1.0))
+    return lambda r: inv * r
 
 
 def cg(
@@ -56,13 +80,15 @@ def cg(
     *,
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
+    precondition: Optional[str] = None,
 ) -> CgResult:
-    """Solve SPD ``A x = b`` by conjugate gradients.
+    """Solve SPD ``A x = b`` by (optionally preconditioned) CG.
 
     ``A`` may be a ``CsrMatrix``/``BsrMatrix`` (single chip) or a
     ``DistCsr`` (``b`` then must be a row-sharded padded vector from
     :func:`~spalinalg_tpu.parallel.spmv.shard_vector`; the result is sharded
-    the same way).
+    the same way). ``precondition="jacobi"`` applies the inverse diagonal —
+    elementwise, so it composes with any sharding.
     """
     from ..parallel.partition import DistCsr
 
@@ -78,8 +104,29 @@ def cg(
         def dot(u, v):
             return dist_dot(u, v, A)
 
+        precond = None
+        if precondition == "jacobi":
+            import numpy as np
+
+            # per-shard diagonal from the stacked blocks (host setup)
+            rp = np.asarray(A.rowptr, dtype=np.int64)
+            ci = np.asarray(A.colind, dtype=np.int64)
+            vv = np.asarray(A.values)
+            P_, rows_per = rp.shape[0], A.rows_per_shard
+            diag = np.ones(P_ * rows_per, dtype=vv.dtype)
+            for p in range(P_):
+                rows = np.repeat(np.arange(rows_per), np.diff(rp[p]))
+                grow = rows + p * rows_per
+                m = ci[p][: rp[p, -1]] == grow
+                diag[grow[m]] = vv[p][: rp[p, -1]][m]
+            inv = jax.device_put(
+                jnp.asarray(np.where(diag != 0, 1.0 / diag, 1.0)),
+                b.sharding,
+            )
+            precond = lambda r: inv * r  # noqa: E731
+
         x0 = jnp.zeros_like(b) if x0 is None else x0
-        return _cg_loop(matvec, dot, b, x0, tol, maxiter)
+        return _cg_loop(matvec, dot, b, x0, tol, maxiter, precond)
 
     n = A.ncols
     maxiter = maxiter if maxiter is not None else 10 * n
@@ -91,4 +138,5 @@ def cg(
     def dot(u, v):
         return jnp.vdot(u, v)
 
-    return _cg_loop(matvec, dot, b, x0, tol, maxiter)
+    precond = _jacobi_precond(A) if precondition == "jacobi" else None
+    return _cg_loop(matvec, dot, b, x0, tol, maxiter, precond)

@@ -38,8 +38,30 @@ def _segment_rows(prod, indptr, *, nbr):
     )
 
 
+_VMEM_OPERAND_BUDGET = 8 * 1024 * 1024  # operand bytes we let live in VMEM
+
+
+def _use_pallas(bsr, operand_bytes: int) -> bool:
+    if isinstance(bsr.indptr, jax.core.Tracer):
+        return False  # structure must be concrete for the kernel call
+    if jax.default_backend() == "cpu":
+        return False  # interpret-mode is for tests; XLA path is faster on CPU
+    if bsr.dtype not in (jnp.float32, jnp.bfloat16):
+        return False  # f64 (XLA-emulated) stays on the XLA path
+    return operand_bytes <= _VMEM_OPERAND_BUDGET
+
+
 def bsr_matvec(bsr, x: jax.Array) -> jax.Array:
-    """``y = A @ x`` for BSR A via batched block matvec."""
+    """``y = A @ x`` for BSR A.
+
+    On TPU with a VMEM-resident operand this dispatches to the Pallas
+    double-buffered block-DMA kernel (`kernels/bsr_spmv.py`); otherwise the
+    batched-einsum XLA path.
+    """
+    if _use_pallas(bsr, x.shape[0] * x.dtype.itemsize):
+        from .kernels.bsr_spmv import bsr_matvec_pallas
+
+        return bsr_matvec_pallas(bsr, x)
     br = bsr.blocksize[0]
     nbr = bsr.nrows // br
     prod = _block_products_vec(bsr, x)                      # (n_blocks, br)
@@ -50,6 +72,10 @@ def bsr_matvec(bsr, x: jax.Array) -> jax.Array:
 def bsr_matmat(bsr, X: jax.Array) -> jax.Array:
     """``Y = A @ X`` for BSR A and dense X — batched (br,bc)@(bc,K) matmuls
     on the MXU."""
+    if _use_pallas(bsr, X.shape[0] * X.shape[1] * X.dtype.itemsize):
+        from .kernels.bsr_spmv import bsr_matmat_pallas
+
+        return bsr_matmat_pallas(bsr, X)
     br, bc = bsr.blocksize
     nbr = bsr.nrows // br
     K = X.shape[1]

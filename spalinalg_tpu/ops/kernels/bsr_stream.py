@@ -1,0 +1,134 @@
+"""Streaming BSR kernel v2: one grid step per block, Pallas-pipelined.
+
+The v1 kernel (`bsr_spmv.py`) issues its own chunk DMAs per block-row and
+measured DMA-latency-bound (~100 GB/s). v2 inverts the structure: the grid
+iterates over *blocks* and the block data rides an ordinary ``BlockSpec``
+``(1, br, bc)`` window — Pallas's pipeline machinery then double-buffers
+the HBM→VMEM stream across grid steps automatically, which is the intended
+fast path.
+
+Accumulation uses the revisit pattern: blocks are ordered by block-row, the
+output block index map revisits the same ``y`` row while consecutive grid
+steps share a row, and the kernel initialises on first touch. Block-rows
+with zero blocks are cleaned up by a mask outside the kernel.
+
+Scalar-prefetch operands: ``row_of_block`` and ``col_of_block`` (both
+``(nblocks,)`` int32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bsr_matvec_stream", "bsr_matmat_stream"]
+
+
+def _kernel_v2(row_ref, col_ref, blk_ref, x_ref, y_ref, *, K):
+    k = pl.program_id(0)
+    row = row_ref[k]
+    col = col_ref[k]
+    xb = x_ref[col]
+    blk = blk_ref[0]
+    prod = (
+        jax.lax.dot_general(
+            blk, xb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if K > 1
+        else jnp.dot(blk, xb, preferred_element_type=jnp.float32)
+    )
+    prod = prod.astype(y_ref.dtype)
+
+    first = jnp.logical_or(
+        k == jnp.int32(0),
+        row != row_ref[jnp.maximum(k - jnp.int32(1), jnp.int32(0))],
+    )
+
+    if K > 1:
+        # out block revisits this row while consecutive ks share it
+        @pl.when(first)
+        def _():
+            y_ref[...] = prod
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            y_ref[...] = y_ref[...] + prod
+    else:
+        @pl.when(first)
+        def _():
+            y_ref[row] = prod
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            y_ref[row] = y_ref[row] + prod
+
+
+def _stream_call(indptr, indices, data, x, *, K, interpret):
+    with jax.enable_x64(False):
+        return _stream_call_inner(indptr, indices, data, x, K=K,
+                                  interpret=interpret)
+
+
+def _stream_call_inner(indptr, indices, data, x, *, K, interpret):
+    import numpy as np
+
+    nbr = indptr.shape[0] - 1
+    nblocks, br, bc = data.shape
+    ip = np.asarray(indptr)
+    row_of_block = jnp.asarray(
+        np.repeat(np.arange(nbr, dtype=np.int32), np.diff(ip)), jnp.int32
+    )
+    row_counts = jnp.asarray(np.diff(ip) > 0)
+
+    x = x.reshape(-1, bc) if K == 1 else x.reshape(-1, bc, K)
+
+    if K == 1:
+        out_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nbr, br), x.dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (br, K), lambda k, row_ref, col_ref: (row_ref[k], 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((nbr * br, K), x.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max(nblocks, 1),),
+        in_specs=[
+            pl.BlockSpec((1, br, bc), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+    )
+    fn = pl.pallas_call(
+        partial(_kernel_v2, K=K),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    y = fn(row_of_block, indices, data, x)
+    # zero block-rows that own no blocks (kernel never touched them)
+    if K == 1:
+        return jnp.where(row_counts[:, None], y, 0)
+    return jnp.where(jnp.repeat(row_counts, br)[:, None], y, 0)
+
+
+def bsr_matvec_stream(bsr, x: jax.Array, *, interpret: bool = False):
+    """``y = A @ x`` via the streaming (auto-pipelined) kernel."""
+    y = _stream_call(bsr.indptr, bsr.indices, bsr.data, x, K=1,
+                     interpret=interpret)
+    return y.reshape(-1)[: bsr.nrows]
+
+
+def bsr_matmat_stream(bsr, X: jax.Array, *, interpret: bool = False):
+    """``Y = A @ X`` via the streaming kernel."""
+    Y = _stream_call(bsr.indptr, bsr.indices, bsr.data, X,
+                     K=int(X.shape[1]), interpret=interpret)
+    return Y[: bsr.nrows]

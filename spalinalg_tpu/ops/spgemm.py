@@ -163,7 +163,25 @@ def _spgemm_numeric(a_idx, b_idx, gid, a_values, b_values, *, n_out):
 
 
 def spgemm_apply(plan: SpgemmPlan, a_values: jax.Array, b_values: jax.Array):
-    """Numeric phase on device: returns the output CSR value array."""
+    """Numeric phase: returns the output CSR value array.
+
+    Concrete values take the host path (``bincount`` over the plan's
+    segment ids — vectorised C); traced values use the device formulation
+    so the op stays jit- and grad-compatible. Per-element gathers serialise
+    on TPU (SURVEY/landscape measurements), so the host path wins for
+    one-shot eager products.
+    """
+    if not (isinstance(a_values, jax.core.Tracer)
+            or isinstance(b_values, jax.core.Tracer)):
+        av = np.asarray(a_values)
+        bv = np.asarray(b_values)
+        a_idx = np.asarray(plan.a_idx)
+        b_idx = np.asarray(plan.b_idx)
+        gid = np.asarray(plan.gid)
+        prod = av[a_idx] * bv[b_idx]
+        out = np.bincount(gid, weights=prod, minlength=max(plan.n_out, 1))
+        out = out[: plan.n_out].astype(np.result_type(av.dtype, bv.dtype))
+        return jnp.asarray(out)
     return _spgemm_numeric(
         plan.a_idx, plan.b_idx, plan.gid, a_values, b_values, n_out=plan.n_out
     )

@@ -1,0 +1,17 @@
+"""Distributed tier: row partitioning + collective SpMV/SpMM (N6/N7)."""
+
+from .partition import DistCsr, make_row_mesh, partition_csr
+from .spmv import (
+    dist_dot,
+    dist_spmm,
+    dist_spmv,
+    shard_matrix_rows,
+    shard_vector,
+    unshard_vector,
+)
+
+__all__ = [
+    "DistCsr", "make_row_mesh", "partition_csr",
+    "dist_spmv", "dist_spmm", "dist_dot",
+    "shard_vector", "shard_matrix_rows", "unshard_vector",
+]

@@ -30,7 +30,8 @@ from jax import shard_map
 
 from .partition import DistCsr
 
-__all__ = ["shard_vector", "unshard_vector", "dist_spmv", "dist_dot"]
+__all__ = ["shard_vector", "unshard_vector", "dist_spmv", "dist_spmm",
+           "dist_dot"]
 
 
 def _padded_len(n: int, p: int) -> int:
@@ -64,7 +65,9 @@ def _local_spmv(rowptr, colind, values, x_local_cols, nrows_local):
     """
     nse = colind.shape[0]
     pos = jnp.arange(nse, dtype=jnp.int32)
-    rows = (jnp.searchsorted(rowptr, pos, side="right") - 1).astype(jnp.int32)
+    rows = (
+        jnp.searchsorted(rowptr, pos, side="right", method="sort") - 1
+    ).astype(jnp.int32)
     safe_col = jnp.clip(colind, 0, x_local_cols.shape[0] - 1)
     prod = values * x_local_cols[safe_col]
     prod = jnp.where(colind == safe_col, prod, 0)
@@ -125,6 +128,53 @@ def dist_spmv(dist: DistCsr, x_sharded: jax.Array) -> jax.Array:
         out_specs=P(axis),
     )
     return fn(dist.rowptr, dist.colind, dist.values, x_sharded)
+
+
+def _local_spmm(rowptr, colind, values, X_local, nrows_local):
+    nse = colind.shape[0]
+    pos = jnp.arange(nse, dtype=jnp.int32)
+    rows = (
+        jnp.searchsorted(rowptr, pos, side="right", method="sort") - 1
+    ).astype(jnp.int32)
+    safe_col = jnp.clip(colind, 0, X_local.shape[0] - 1)
+    prod = values[:, None] * X_local[safe_col, :]
+    prod = jnp.where((colind == safe_col)[:, None], prod, 0)
+    return jax.ops.segment_sum(
+        prod, rows, num_segments=nrows_local, indices_are_sorted=True
+    )
+
+
+def dist_spmm(dist: DistCsr, X_sharded: jax.Array) -> jax.Array:
+    """``Y = A @ X`` with A row-partitioned and X/Y row-sharded ``(n, K)``.
+
+    Dense tall-skinny right-hand sides (BASELINE config[1]/[4]); the
+    operand rows are all-gathered over ICI (halo-slab SpMM follows the
+    same pattern as :func:`dist_spmv` and currently reuses all-gather).
+    """
+    mesh, axis = dist.mesh, dist.axis
+    rows_per = dist.rows_per_shard
+
+    def kernel(rp, ci, vv, Xl):
+        rp, ci, vv = rp[0], ci[0], vv[0]
+        Xg = jax.lax.all_gather(Xl, axis, tiled=True)  # (ncols_padded, K)
+        return _local_spmm(rp, ci, vv, Xg, rows_per)
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return fn(dist.rowptr, dist.colind, dist.values, X_sharded)
+
+
+def shard_matrix_rows(X, dist: DistCsr, *, by: str = "cols") -> jax.Array:
+    """Pad + row-shard a dense operand matrix ``(n, K)``."""
+    n = dist.ncols if by == "cols" else dist.nrows
+    pad = _padded_len(n, dist.n_shards) - n
+    X = jnp.asarray(X)
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    return jax.device_put(Xp, NamedSharding(dist.mesh, P(dist.axis, None)))
 
 
 def dist_dot(a: jax.Array, b: jax.Array, dist: DistCsr) -> jax.Array:

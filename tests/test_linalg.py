@@ -244,3 +244,38 @@ class TestCg:
         x = unshard_vector(res.x, dist)
         np.testing.assert_allclose(np.asarray(x), np.asarray(single.x),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestPreconditionedCg:
+    def test_jacobi_cg(self):
+        n = 80
+        a = laplacian_1d(n)
+        # scale rows/cols to make Jacobi matter
+        s = np.linspace(1.0, 100.0, n)
+        d = np.asarray(a.to_dense()) * np.outer(np.sqrt(s), np.sqrt(s))
+        aa = csr_of_dense(d)
+        rng = np.random.default_rng(7)
+        b = rng.normal(size=n)
+        plain = cg(aa, jnp.asarray(b), tol=1e-12, maxiter=4000)
+        pre = cg(aa, jnp.asarray(b), tol=1e-12, maxiter=4000,
+                 precondition="jacobi")
+        ref = np.linalg.solve(d, b)
+        np.testing.assert_allclose(np.asarray(pre.x), ref, rtol=1e-5,
+                                   atol=1e-7)
+        assert int(pre.iterations) <= int(plain.iterations)
+
+    def test_jacobi_cg_distributed(self):
+        from spalinalg_tpu.parallel.partition import make_row_mesh, partition_csr
+        from spalinalg_tpu.parallel.spmv import shard_vector, unshard_vector
+
+        n = 96
+        a = laplacian_1d(n)
+        rng = np.random.default_rng(8)
+        b = rng.normal(size=n)
+        mesh = make_row_mesh(8)
+        dist = partition_csr(a, mesh)
+        bs_ = shard_vector(b, dist, by="rows")
+        res = cg(dist, bs_, tol=1e-12, precondition="jacobi")
+        x = unshard_vector(res.x, dist)
+        ref = np.linalg.solve(np.asarray(a.to_dense()), b)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-6, atol=1e-8)

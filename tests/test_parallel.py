@@ -118,3 +118,16 @@ class TestDistDot:
         us, vs = shard_vector(u, dist, by="rows"), shard_vector(v, dist, by="rows")
         got = float(dist_dot(us, vs, dist))
         np.testing.assert_allclose(got, u @ v, rtol=1e-12)
+
+
+class TestDistSpmm:
+    def test_spmm_parity(self, rng, mesh):
+        from spalinalg_tpu.parallel.spmv import dist_spmm, shard_matrix_rows
+
+        a, d = _random_csr(rng, 72, 72)
+        dist = partition_csr(a, mesh)
+        X = rng.normal(size=(72, 16))
+        Xs = shard_matrix_rows(X, dist)
+        Y = dist_spmm(dist, Xs)
+        got = np.asarray(Y)[: 72]
+        np.testing.assert_allclose(got, d @ X, rtol=1e-12)
