@@ -80,7 +80,7 @@ def bench_bsr_banded(on_tpu: bool):
     from spalinalg_tpu.dtypes import INDEX_DTYPE
 
     bs = 128
-    nbr = 512 if on_tpu else 8
+    nbr = 512 if on_tpu else 8  # streaming Pallas kernel path
     n = nbr * bs
     rng = np.random.default_rng(0)
 
@@ -113,7 +113,7 @@ def bench_csr_random(on_tpu: bool):
     from spalinalg_tpu import CsrMatrix
     from spalinalg_tpu.dtypes import INDEX_DTYPE
 
-    n = 1 << 17 if on_tpu else 1 << 12
+    n = 1 << 16 if on_tpu else 1 << 12
     row_nnz = 32
     nnz = n * row_nnz
     rng = np.random.default_rng(0)

@@ -41,6 +41,9 @@ from .formats.bsr import BsrMatrix  # noqa: E402
 from .formats.device import DeviceCoo  # noqa: E402
 from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: E402
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
+from . import linalg  # noqa: E402
+from . import io  # noqa: E402
+from . import utils  # noqa: E402
 
 __version__ = "0.1.0"
 

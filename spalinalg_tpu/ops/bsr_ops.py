@@ -59,9 +59,9 @@ def bsr_matvec(bsr, x: jax.Array) -> jax.Array:
     batched-einsum XLA path.
     """
     if _use_pallas(bsr, x.shape[0] * x.dtype.itemsize):
-        from .kernels.bsr_spmv import bsr_matvec_pallas
+        from .kernels.bsr_stream import bsr_matvec_stream
 
-        return bsr_matvec_pallas(bsr, x)
+        return bsr_matvec_stream(bsr, x)
     br = bsr.blocksize[0]
     nbr = bsr.nrows // br
     prod = _block_products_vec(bsr, x)                      # (n_blocks, br)
@@ -73,9 +73,9 @@ def bsr_matmat(bsr, X: jax.Array) -> jax.Array:
     """``Y = A @ X`` for BSR A and dense X — batched (br,bc)@(bc,K) matmuls
     on the MXU."""
     if _use_pallas(bsr, X.shape[0] * X.shape[1] * X.dtype.itemsize):
-        from .kernels.bsr_spmv import bsr_matmat_pallas
+        from .kernels.bsr_stream import bsr_matmat_stream
 
-        return bsr_matmat_pallas(bsr, X)
+        return bsr_matmat_stream(bsr, X)
     br, bc = bsr.blocksize
     nbr = bsr.nrows // br
     K = X.shape[1]

@@ -118,7 +118,10 @@ def _row_plan(csr):
     import numpy as np
 
     sizes = np.diff(np.asarray(csr._ptr, dtype=np.int64))
-    plan = build_segment_reduce_plan(sizes)
+    # Plans are cached across jit traces: their device arrays must be real
+    # committed constants, not trace-scoped ones (escaped-tracer otherwise).
+    with jax.ensure_compile_time_eval():
+        plan = build_segment_reduce_plan(sizes)
     if len(_ROW_PLAN_CACHE) >= _ROW_PLAN_CACHE_MAX:
         _ROW_PLAN_CACHE.pop(next(iter(_ROW_PLAN_CACHE)))
     _ROW_PLAN_CACHE[key] = (csr._ptr, plan)

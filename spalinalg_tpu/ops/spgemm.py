@@ -197,7 +197,9 @@ def _cached_plan(a, b) -> SpgemmPlan:
            a.shape, b.shape, type(a).__name__)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
-        plan = spgemm_plan(a, b)
+        # cached across traces -> arrays must be committed constants
+        with jax.ensure_compile_time_eval():
+            plan = spgemm_plan(a, b)
         if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = plan

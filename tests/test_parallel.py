@@ -131,3 +131,20 @@ class TestDistSpmm:
         Y = dist_spmm(dist, Xs)
         got = np.asarray(Y)[: 72]
         np.testing.assert_allclose(got, d @ X, rtol=1e-12)
+
+
+class TestMultihost:
+    def test_initialize_single_process_noop(self):
+        from spalinalg_tpu.parallel.multihost import initialize
+        initialize(num_processes=1)  # must not raise or hang
+
+    def test_heartbeat(self):
+        from spalinalg_tpu.parallel.multihost import heartbeat
+        dt = heartbeat()
+        assert dt >= 0
+
+    def test_device_summary(self):
+        from spalinalg_tpu.parallel.multihost import global_device_summary
+        s = global_device_summary()
+        assert s["global_device_count"] >= 8
+        assert s["process_count"] == 1
