@@ -131,9 +131,32 @@ def bench_csr_random(on_tpu: bool):
     return nnz, per
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """The tunnelled TPU can wedge on a lost device grant (claims spin
+    forever). If the bench cannot produce a number in time, emit a zero
+    metric line instead of hanging the harness."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "bsr_banded_spmv_f32_nnz_per_s",
+            "value": 0.0,
+            "unit": "nnz/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        print("[bench] WATCHDOG: no result within "
+              f"{seconds:.0f}s (device unreachable?)", file=sys.stderr)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     import jax
 
+    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "1500")))
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     hbm = _hbm()
