@@ -70,6 +70,12 @@ def get() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        _I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        _U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.spal_route_color.restype = None
+        lib.spal_route_color.argtypes = [
+            _I64, ctypes.c_int64, _I32, _I32, _I32, _I32, _U8,
+        ]
         _lib = lib
         return _lib
 
@@ -142,3 +148,20 @@ def spgemm_symbolic(aptr, acol, nrows_a, bptr, bcol, ncols_b):
     )
     return (a_idx[:total], b_idx[:total], gid[:total], out_rowptr,
             out_colind[:n_out].copy())
+
+
+def route_color(panel_ptr, g, f, sh):
+    """Edge coloring for the routed-SpMV plan (panel-sorted inputs).
+
+    Returns (m int32, ok bool) aligned with the input edge order.
+    """
+    lib = get()
+    assert lib is not None
+    panel_ptr = np.ascontiguousarray(panel_ptr, dtype=np.int64)
+    g = np.ascontiguousarray(g, dtype=np.int32)
+    f = np.ascontiguousarray(f, dtype=np.int32)
+    sh = np.ascontiguousarray(sh, dtype=np.int32)
+    m = np.zeros(max(g.size, 1), dtype=np.int32)
+    ok = np.zeros(max(g.size, 1), dtype=np.uint8)
+    lib.spal_route_color(panel_ptr, panel_ptr.size - 1, g, f, sh, m, ok)
+    return m[: g.size].astype(np.int64), ok[: g.size].astype(bool)

@@ -201,4 +201,131 @@ int64_t spal_spgemm_symbolic(
   return n_out;
 }
 
+// ---------------------------------------------------------------------
+// Route-plan edge coloring (ops/kernels/csr_route.py). Edges are
+// (dest-row g, source-row f, payload sh) within a panel; assign colors
+// m in [0,128) such that
+//   - colors are distinct among edges with equal g, and
+//   - edges with equal (f, m) carry equal payload (sharing = multicast).
+// Greedy first-fit, then exact alternating-chain repair (Konig). Edges
+// that still fail get ok=0 (spilled by the caller). Panels are
+// independent; edges arrive sorted by panel (panel_ptr boundaries).
+// ---------------------------------------------------------------------
+void spal_route_color(const int64_t* panel_ptr, int64_t n_panels,
+                      const int32_t* g, const int32_t* f,
+                      const int32_t* sh, int32_t* m, uint8_t* ok) {
+  constexpr int C = 128;
+  std::vector<int64_t> gcol(C * C), fcol(C * C);
+  std::vector<int32_t> fpay(C * C), fcnt(C * C);
+  std::vector<int64_t> chain;
+
+  for (int64_t p = 0; p < n_panels; ++p) {
+    int64_t lo = panel_ptr[p], hi = panel_ptr[p + 1];
+    std::fill(gcol.begin(), gcol.end(), -1);
+    std::fill(fcol.begin(), fcol.end(), -1);
+    std::fill(fpay.begin(), fpay.end(), -1);
+    std::fill(fcnt.begin(), fcnt.end(), 0);
+
+    auto place = [&](int64_t e, int c) {
+      m[e] = c;
+      gcol[g[e] * C + c] = e;
+      int64_t fc = f[e] * C + c;
+      if (fcnt[fc] == 0) {
+        fcol[fc] = e;
+        fpay[fc] = sh[e];
+      }
+      fcnt[fc]++;
+      ok[e] = 1;
+    };
+
+    std::vector<int64_t> failed;
+    for (int64_t e = lo; e < hi; ++e) {
+      ok[e] = 0;
+      int start = (int)((e * 2654435761u) & (C - 1));
+      for (int d = 0; d < C; ++d) {
+        int c = (start + d) & (C - 1);
+        if (gcol[g[e] * C + c] != -1) continue;
+        int64_t fc = f[e] * C + c;
+        if (fcnt[fc] == 0 || fpay[fc] == sh[e]) {
+          place(e, c);
+          break;
+        }
+      }
+      if (!ok[e]) failed.push_back(e);
+    }
+
+    // exact repair: alternating chains on color pairs (a, b)
+    for (int64_t e : failed) {
+      int ge = g[e], fe = f[e];
+      bool placed = false;
+      // retry phase 1 (earlier chains may have freed cells)
+      for (int c = 0; c < C && !placed; ++c) {
+        if (gcol[ge * C + c] != -1) continue;
+        int64_t fc = fe * C + c;
+        if (fcnt[fc] == 0 || fpay[fc] == sh[e]) {
+          place(e, c);
+          placed = true;
+        }
+      }
+      int64_t budget = 64 * C;  // total chain steps allowed per edge
+      for (int a = 0; a < C && !placed && budget > 0; ++a) {
+        if (gcol[ge * C + a] != -1) continue;        // a free at g
+        for (int b = 0; b < C && !placed && budget > 0; ++b) {
+          if (fcnt[fe * C + b] != 0) continue;       // b free at f
+          // walk the alternating chain from f along colors a/b
+          chain.clear();
+          bool is_f = true, okc = true;
+          int node = fe, want = a;
+          while (true) {
+            --budget;
+            if (is_f) {
+              int64_t fc = (int64_t)node * C + want;
+              if (fcnt[fc] == 0) break;
+              if (fcnt[fc] > 1) { okc = false; break; }  // shared: pinned
+              int64_t e2 = fcol[fc];
+              chain.push_back(e2);
+              node = g[e2];
+              is_f = false;
+            } else {
+              int64_t e2 = gcol[(int64_t)node * C + want];
+              if (e2 == -1) break;
+              if (fcnt[(int64_t)f[e2] * C + m[e2]] != 1) { okc = false; break; }
+              chain.push_back(e2);
+              node = f[e2];
+              is_f = true;
+            }
+            want = (want == a) ? b : a;
+            if ((int64_t)chain.size() > 4 * C || budget <= 0) {
+              okc = false;
+              break;
+            }
+          }
+          if (!okc) continue;
+          for (int64_t e2 : chain) {  // clear old cells
+            int c_old = m[e2];
+            gcol[(int64_t)g[e2] * C + c_old] = -1;
+            int64_t fc = (int64_t)f[e2] * C + c_old;
+            fcol[fc] = -1;
+            fpay[fc] = -1;
+            fcnt[fc] = 0;
+            m[e2] = (c_old == a) ? b : a;
+          }
+          for (int64_t e2 : chain) {  // set new cells
+            int c_new = m[e2];
+            gcol[(int64_t)g[e2] * C + c_new] = e2;
+            int64_t fc = (int64_t)f[e2] * C + c_new;
+            fcol[fc] = e2;
+            fpay[fc] = sh[e2];
+            fcnt[fc] = 1;
+          }
+          if (gcol[ge * C + a] == -1 && fcnt[fe * C + a] == 0) {
+            place(e, a);
+            placed = true;
+          }
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

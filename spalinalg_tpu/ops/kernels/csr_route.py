@@ -1,0 +1,572 @@
+"""Routed CSR SpMV: a Pallas kernel for *unstructured* sparse matrices.
+
+Why this shape (measured on TPU v5e, see docs/performance.md):
+
+- XLA 1-D gather/scatter serialise (~0.13 Gelem/s) — any ``x[colind]``
+  formulation is ~500x off the HBM roofline.
+- Inside Pallas, ``tpu.dynamic_gather`` is *shape-preserving*: lane
+  gathers (``take_along_axis(src, idx, axis=1)`` with src/idx/out all
+  ``(S,128)``) run at ~306 Gelem/s, (128,128) transposes are nearly
+  free, and cross-vreg sublane gathers are unsupported.
+
+So the kernel never chases pointers. A **host-built routing plan**
+(one-time per structure, cached) decomposes the arbitrary ``x[col]``
+access pattern into shape-preserving primitives only:
+
+1. Columns are split into **slices** of 16384; slice ``x`` lives as a
+   ``(128,128)`` tile ``X2`` (source row ``rr`` = column window, lane
+   ``lc`` = position in window).
+2. Rows are packed into a row-ELL dest tile ``(512,128)`` per grid
+   step: sublane group ``k`` of ``R = 512/K`` sublanes holds the k-th
+   routed entry of ``R*128`` consecutive rows (lane = row % 128).
+3. Per (128,128) dest block, the route ``X2[rr, lc] -> slot (sdb, l)``
+   is the classic 2-corner-turn network::
+
+       H  = take(X2, F1, axis=1)      # H[rr, m]  = X2[rr, F1[rr, m]]
+       S  = take(H.T, F2, axis=1)     # S[m, sdb] = H[F2[m,sdb], m]
+       Z  = take(S.T, F3, axis=1)     # Z[sdb, l] = S[F3[sdb,l], sdb]
+
+   where the intermediate lane ``m`` per request is a plan-time edge
+   coloring (per dest row: distinct m; per (source row, m): a single
+   payload — duplicates may share, giving free fan-out/multicast).
+4. ``P = Z * VALS`` (values pre-laid-out in dest ELL order, pads = 0)
+   and ``y_block = sum_k P[k*R:(k+1)*R]`` (static slices, VPU adds).
+5. The grid is ``(T steps, S slices)``; the output block revisits the
+   same ``y`` rows across slices and accumulates in VMEM.
+
+Entries that cannot be routed (rows wider than K, coloring overflow on
+adversarial structures) are returned as a COO *spill* added via the
+XLA path; plans report ``spill_frac`` so dispatch can bail out.
+
+Reference scope: SpMV is absent from the reference (intent only,
+``csr.rs:16-17``); this is north-star N1 for unstructured matrices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["RoutePlan", "build_route_plan", "route_spmv", "simulate_route"]
+
+_LANE = 128
+_BLK = 128                  # rows per block == windows per slice
+_H = 512                    # dest tile sublanes = K * R
+_D = _H // _BLK             # dest blocks per tile
+_SLICE_COLS = _BLK * _LANE  # 16384 columns per slice
+_MAX_TABLE_BYTES = 2 << 30
+
+
+@dataclass(eq=False)  # identity hash: plans are jit-static
+class RoutePlan:
+    """Host-built routing tables for one CSR structure."""
+
+    nrows: int
+    ncols: int
+    K: int                  # ELL width (routed entries per row per slice)
+    R: int                  # sublanes per k-group (= 512 // K)
+    T: int                  # row steps
+    S: int                  # column slices
+    RPP: int                # rows used per page (<= R*128; load slack)
+    F1: jax.Array           # (T*S, 512, 128) i32
+    F2: jax.Array           # (T*S, 512, 128) i32
+    F3: jax.Array           # (T*S, 512, 128) i32
+    VALS: jax.Array         # (T*S, 512, 128) f32
+    vrow_src: np.ndarray    # (n_virtual,) real row of each virtual row
+    spill: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    spill_frac: float
+    nnz: int
+    spill_plan: "RoutePlan | None" = None  # recursive plan for spill
+
+    @property
+    def rows_per_step(self) -> int:
+        return self.R * _LANE
+
+    @property
+    def table_bytes(self) -> int:
+        return int(self.T) * int(self.S) * _H * _LANE * 16
+
+
+def _color_requests(grp, forb, share, rng, iters=48):
+    """Vectorised Las-Vegas edge coloring (bulk phase).
+
+    Returns (m, bad): colors in [0,128) with
+      - distinct m among equal ``grp`` (dest row slots), and
+      - equal ``share`` among equal ``(forb, m)`` (payload sharing).
+    Slots still conflicting after ``iters`` rounds are flagged ``bad``
+    and handed to the exact repair pass.
+    """
+    n = grp.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    m = rng.integers(0, _LANE, size=n).astype(np.int64)
+
+    def conflicts(m):
+        bad = np.zeros(n, bool)
+        k1 = grp * _LANE + m
+        o = np.argsort(k1, kind="stable")
+        s = k1[o]
+        d = np.concatenate([[False], s[1:] == s[:-1]])
+        bad[o[d]] = True
+        k2 = forb * _LANE + m
+        o2 = np.lexsort((share, m, forb))
+        s2, sh2 = k2[o2], share[o2]
+        new = np.concatenate([[True], s2[1:] != s2[:-1]])
+        run = np.cumsum(new) - 1
+        first_share = sh2[np.flatnonzero(new)][run]
+        bad[o2[sh2 != first_share]] = True
+        return bad
+
+    n_prev = n + 1
+    for _ in range(iters):
+        bad = conflicts(m)
+        nb = int(bad.sum())
+        if nb == 0:
+            return m, bad
+        if nb * 400 < n or nb >= n_prev:  # converged enough / stalled
+            break
+        n_prev = nb
+        m[bad] = rng.integers(0, _LANE, size=nb)
+    return m, conflicts(m)
+
+
+def _repair_colors(grp, forb, share, m, bad):
+    """Exact repair of residual conflicts via alternating-path
+    recoloring (bipartite edge coloring, Konig-style chains).
+
+    Panels (distinct ``grp >> 7``... callers pass grp = panel*128+sdb,
+    forb = panel*128+rr with a shared panel id, so grp//128 == forb//128
+    == panel). State per panel: occupancy arrays (128 x 128).
+    Returns updated (m, ok).
+    """
+    ok = ~bad
+    if not bad.any():
+        return m, ok
+    panels_bad = np.unique(grp[bad] // _BLK)
+    panel_of = grp // _BLK
+    sel_panel = np.isin(panel_of, panels_bad)
+    idxs = np.flatnonzero(sel_panel)
+    order = np.argsort(panel_of[idxs], kind="stable")
+    idxs = idxs[order]
+    bounds = np.searchsorted(panel_of[idxs], panels_bad)
+    bounds = np.append(bounds, idxs.size)
+
+    for pi, panel in enumerate(panels_bad):
+        ids = idxs[bounds[pi]:bounds[pi + 1]]
+        g_l = (grp[ids] % _BLK).astype(np.int64)
+        f_l = (forb[ids] % _BLK).astype(np.int64)
+        sh_l = share[ids]
+        m_l = m[ids].copy()
+        good_l = ok[ids].copy()
+        # occupancy: gcol[g, c] = local edge id or -1
+        gcol = np.full((_BLK, _LANE), -1, np.int64)
+        fcol = np.full((_BLK, _LANE), -1, np.int64)
+        fpay = np.full((_BLK, _LANE), -1, np.int64)
+        fcnt = np.zeros((_BLK, _LANE), np.int64)
+        gl = np.flatnonzero(good_l)
+        gcol[g_l[gl], m_l[gl]] = gl
+        fcol[f_l[gl], m_l[gl]] = gl
+        fpay[f_l[gl], m_l[gl]] = sh_l[gl]
+        np.add.at(fcnt, (f_l[gl], m_l[gl]), 1)
+
+        for e in np.flatnonzero(~good_l):
+            g, f, p = int(g_l[e]), int(f_l[e]), int(sh_l[e])
+            placed = False
+            # 1) free-free or share
+            for c in range(_LANE):
+                if gcol[g, c] != -1:
+                    continue
+                if fcnt[f, c] == 0 or fpay[f, c] == p:
+                    m_l[e] = c
+                    gcol[g, c] = e
+                    if fcnt[f, c] == 0:
+                        fcol[f, c], fpay[f, c] = e, p
+                    fcnt[f, c] += 1
+                    good_l[e] = True
+                    placed = True
+                    break
+            if placed:
+                continue
+            # 2) alternating chain: a free at g, b free at f
+            afree = np.flatnonzero(gcol[g] == -1)
+            bfree = np.flatnonzero(fcnt[f] == 0)
+            for a in afree[:24]:
+                if placed:
+                    break
+                for b in bfree[:24]:
+                    # follow chain from f along colors a/b
+                    chain = []
+                    node_is_f, node, want = True, f, int(a)
+                    okc = True
+                    while True:
+                        if node_is_f:
+                            e2 = fcol[node, want]
+                            if fcnt[node, want] == 0:
+                                break
+                            if e2 == -1 or fcnt[node, want] > 1:
+                                okc = False  # shared/pinned cell
+                                break
+                            chain.append(e2)
+                            node, node_is_f = int(g_l[e2]), False
+                            want = int(b if want == a else a)
+                        else:
+                            e2 = gcol[node, want]
+                            if e2 == -1:
+                                break
+                            # flipping e2 vacates its f-cell; invalid
+                            # if that cell is shared with other edges
+                            if fcnt[f_l[e2], m_l[e2]] != 1:
+                                okc = False
+                                break
+                            chain.append(e2)
+                            node, node_is_f = int(f_l[e2]), True
+                            want = int(b if want == a else a)
+                        if len(chain) > 4 * _LANE:
+                            okc = False
+                            break
+                    if not okc:
+                        continue
+                    # flip chain colors a<->b
+                    for e2 in chain:
+                        c_old = int(m_l[e2])
+                        c_new = int(b if c_old == a else a)
+                        g2, f2, p2 = (int(g_l[e2]), int(f_l[e2]),
+                                      int(sh_l[e2]))
+                        gcol[g2, c_old] = -1
+                        fcol[f2, c_old] = -1
+                        fpay[f2, c_old] = -1
+                        fcnt[f2, c_old] = 0
+                        m_l[e2] = c_new
+                    for e2 in chain:
+                        c_new = int(m_l[e2])
+                        g2, f2, p2 = (int(g_l[e2]), int(f_l[e2]),
+                                      int(sh_l[e2]))
+                        gcol[g2, c_new] = e2
+                        fcol[f2, c_new] = e2
+                        fpay[f2, c_new] = p2
+                        fcnt[f2, c_new] = 1
+                    # now color a is free at f (chain moved it away)
+                    if gcol[g, a] == -1 and fcnt[f, a] == 0:
+                        m_l[e] = a
+                        gcol[g, a] = e
+                        fcol[f, a], fpay[f, a] = e, p
+                        fcnt[f, a] = 1
+                        good_l[e] = True
+                        placed = True
+                        break
+            # else: spill (stays not-ok)
+        m[ids] = m_l
+        ok[ids] = good_l
+    return m, ok
+
+
+_TARGET_LOAD = 0.72     # coloring load ceiling (slack pages beyond)
+_VROW_COST = 0.006      # XLA scatter-add cost per virtual row, in
+                        # units of one (512,128) table page
+
+
+def _page_geometry(K: int, nrows_tot: int, nnz: int, S: int):
+    """(T, RPP): pages per slice and rows used per page.
+
+    T covers all (real+virtual) rows AND keeps average slot load under
+    ``_TARGET_LOAD`` (dense packing makes the edge coloring infeasible
+    — per-source-row request counts overflow the 128 colors).
+    """
+    R = _H // K
+    cap = R * _LANE
+    T_rows = -(-nrows_tot // cap)
+    T_load = -(-nnz // max(1, int(_TARGET_LOAD * S * _H * _LANE)))
+    T = max(1, T_rows, T_load)
+    RPP = min(cap, -(-nrows_tot // T // _LANE) * _LANE)
+    RPP = max(RPP, _LANE)
+    T = max(1, -(-nrows_tot // RPP))
+    return T, RPP
+
+
+def _choose_K(maxcnt_per_row: np.ndarray, nrows: int, S: int,
+              nnz: int) -> int:
+    """Pick the ELL width minimising table pages + virtual-row cost."""
+    if maxcnt_per_row.size == 0 or maxcnt_per_row.max() == 0:
+        return 1
+    best, bestK = None, 1
+    K = 1
+    while K <= _H:
+        nvr = int(((np.maximum(maxcnt_per_row, 1) - 1) // K).sum())
+        T, _ = _page_geometry(K, nrows + nvr, nnz, S)
+        cost = T * S + nvr * _VROW_COST
+        if best is None or cost <= best:  # ties -> larger K, fewer vrows
+            best, bestK = cost, K
+        K *= 2
+    return bestK
+
+
+def _color_all(grp, forb, share, rng):
+    """Color all requests: native first-fit+chain repair when the C++
+    library is available (fast path), NumPy Las-Vegas + Python chains
+    otherwise. Returns (m, ok)."""
+    from ...native import lib as native
+
+    if grp.size and native.available():
+        panel = grp // _BLK
+        order = np.argsort(panel, kind="stable")
+        panels, starts = np.unique(panel[order], return_index=True)
+        panel_ptr = np.append(starts, grp.size).astype(np.int64)
+        m_s, ok_s = native.route_color(
+            panel_ptr, grp[order] % _BLK, forb[order] % _BLK, share[order])
+        m = np.empty(grp.size, np.int64)
+        ok = np.empty(grp.size, bool)
+        m[order] = m_s
+        ok[order] = ok_s
+        return m, ok
+    m, bad = _color_requests(grp, forb, share, rng)
+    return _repair_colors(grp, forb, share, m, bad)
+
+
+def build_route_plan(rowptr, colind, values, nrows, ncols,
+                     seed: int = 0, _depth: int = 0) -> "RoutePlan":
+    """Build the routing plan on host (NumPy). O(nnz) vectorised plus
+    an exact repair pass on residual coloring conflicts. Spilled
+    entries large enough to matter get their own (recursive) plan."""
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    colind = np.asarray(colind, dtype=np.int64)
+    values = np.asarray(values)
+    nnz = int(rowptr[-1])
+    colind, values = colind[:nnz], values[:nnz]
+    rng = np.random.default_rng(seed)
+
+    S = max(1, -(-ncols // _SLICE_COLS))
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rowptr))
+    sl = colind // _SLICE_COLS
+
+    # per-(row, slice) group rank: entries are sorted by (row, col)
+    # hence by (row, slice) — rank within group = running index.
+    key = rows * S + sl
+    if nnz:
+        new = np.concatenate([[True], key[1:] != key[:-1]])
+        gstart = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        kpos = np.arange(nnz, dtype=np.int64) - gstart[run]
+        gcounts = np.diff(np.append(gstart, nnz))
+        maxcnt_per_row = np.zeros(nrows, np.int64)
+        np.maximum.at(maxcnt_per_row, rows[gstart], gcounts)
+    else:
+        kpos = np.zeros(0, np.int64)
+        maxcnt_per_row = np.zeros(nrows, np.int64)
+
+    K = _choose_K(maxcnt_per_row, nrows, S, nnz)
+    R = _H // K
+
+    # --- virtual rows absorb overflow beyond K per (row, slice) -----
+    # entry with chunk q = kpos // K >= 1 lands in virtual row
+    # (r, q); y[r] += y_virtual afterwards (small scatter-add).
+    q = kpos // K
+    kk = kpos % K
+    nvr_per_row = np.maximum((np.maximum(maxcnt_per_row, 1) - 1)
+                             // K, 0)
+    vrow_base = nrows + np.concatenate(
+        [[0], np.cumsum(nvr_per_row)])[:-1]
+    vrow_src = np.repeat(np.arange(nrows, dtype=np.int64), nvr_per_row)
+    nvr = int(nvr_per_row.sum())
+    dest_row = np.where(q == 0, rows, vrow_base[rows] + (q - 1))
+
+    nrows_tot = nrows + nvr
+    T, RPP = _page_geometry(K, nrows_tot, nnz, S)
+    if T * S * _H * _LANE * 16 > _MAX_TABLE_BYTES:
+        raise ValueError("route plan tables would exceed memory budget")
+
+    t_r = dest_row // RPP
+    lr = dest_row % RPP
+    sdest = kk * R + lr // _LANE           # dest sublane in [0,512)
+    l_r = lr % _LANE                        # dest lane
+    d_r = sdest // _BLK                     # dest block
+    sdb = sdest % _BLK                      # dest row within block
+    cl = colind % _SLICE_COLS
+    # column-major window mapping: consecutive columns hit distinct
+    # source rows, spreading coloring load for banded / small-ncols
+    # structures (X2[rr, lc] = x_slice[lc*128 + rr]).
+    rr = cl % _LANE                         # source row (window)
+    lc = cl // _LANE                        # source lane
+
+    # --- stage coloring: one per (step, slice, dest block) ----------
+    page = t_r * S + sl
+    grp = (page * _D + d_r) * _BLK + sdb
+    forb = (page * _D + d_r) * _BLK + rr
+    m, ok = _color_all(grp, forb, lc, rng)
+
+    # --- materialise tables -----------------------------------------
+    F1 = np.zeros((T * S, _H, _LANE), np.int32)
+    F2 = np.zeros((T * S, _H, _LANE), np.int32)
+    F3 = np.zeros((T * S, _H, _LANE), np.int32)
+    VALS = np.zeros((T * S, _H, _LANE), np.float32)
+    g = ok
+    F1[page[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g]
+    F2[page[g], d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
+    F3[page[g], d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
+    VALS[page[g], sdest[g], l_r[g]] = values[g].astype(np.float32)
+
+    sp_rows = rows[~g]
+    sp_cols = colind[~g]
+    sp_vals = values[~g]
+
+    spill_plan = None
+    if sp_rows.size >= 1024 and _depth < 2:
+        # spill entries are in (row, col) order (masked row-major scan)
+        sp_ptr = np.zeros(nrows + 1, np.int64)
+        np.add.at(sp_ptr, sp_rows + 1, 1)
+        np.cumsum(sp_ptr, out=sp_ptr)
+        spill_plan = build_route_plan(sp_ptr, sp_cols, sp_vals, nrows,
+                                      ncols, seed=seed + 1,
+                                      _depth=_depth + 1)
+
+    return RoutePlan(
+        nrows=nrows, ncols=ncols, K=K, R=R, T=T, S=S, RPP=RPP,
+        F1=jnp.asarray(F1), F2=jnp.asarray(F2), F3=jnp.asarray(F3),
+        VALS=jnp.asarray(VALS), vrow_src=vrow_src,
+        spill=(sp_rows, sp_cols, sp_vals.astype(np.float64)),
+        spill_frac=float(sp_rows.size / max(nnz, 1)), nnz=nnz,
+        spill_plan=spill_plan,
+    )
+
+
+# ---------------------------------------------------------------------
+# NumPy simulator (exact kernel math; used by tests)
+# ---------------------------------------------------------------------
+
+def simulate_route(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
+    """Replay the kernel's routing in NumPy (routed entries only)."""
+    K, R, T, S = plan.K, plan.R, plan.T, plan.S
+    X = np.zeros(S * _SLICE_COLS, np.float32)
+    X[: plan.ncols] = np.asarray(x, np.float32)[: plan.ncols]
+    # column-major slices: X[s][rr, lc] = x_slice[lc*128 + rr]
+    X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+    F1, F2, F3, VALS = (np.asarray(a) for a in
+                        (plan.F1, plan.F2, plan.F3, plan.VALS))
+    y = np.zeros((T, R * _LANE), np.float32)
+    for t in range(T):
+        acc = np.zeros((R, _LANE), np.float32)
+        for s in range(S):
+            p = t * S + s
+            P = np.zeros((_H, _LANE), np.float32)
+            for d in range(_D):
+                b = slice(d * _BLK, (d + 1) * _BLK)
+                H = np.take_along_axis(X[s], F1[p, b], axis=1)
+                Sm = np.take_along_axis(H.T, F2[p, b], axis=1)
+                P[b] = np.take_along_axis(Sm.T, F3[p, b], axis=1)
+            P *= VALS[p]
+            for k in range(K):
+                acc += P[k * R:(k + 1) * R]
+        y[t] = acc.reshape(-1)
+    yr = y[:, : plan.RPP].reshape(-1)
+    out = yr[: plan.nrows].copy()
+    nvr = plan.vrow_src.size
+    if nvr:
+        np.add.at(out, plan.vrow_src, yr[plan.nrows: plan.nrows + nvr])
+    return out
+
+
+# ---------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------
+
+_LANE_GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+    operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+
+def _take_lane(src, idx):
+    """``out[s, l] = src[s, idx[s, l]]`` (Mosaic tpu.dynamic_gather).
+
+    Direct ``lax.gather`` in the exact form ``take_along_axis`` lowers
+    to, but with int32 indices regardless of ``jax_enable_x64`` — the
+    kernel must stay 32-bit whatever the caller's x64 mode, and
+    re-tracing under an ``enable_x64(False)`` context leaks tracers
+    when the caller is itself inside a jit.
+    """
+    return jax.lax.gather(
+        src, idx[..., None], _LANE_GATHER_DNUMS, (1, 1),
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP, fill_value=0.0)
+
+
+def _route_kernel(x_ref, f1_ref, f2_ref, f3_ref, v_ref, o_ref, *, K, R):
+    s = pl.program_id(1)
+    X2 = x_ref[...]
+    zs = []
+    for d in range(_D):
+        b = slice(d * _BLK, (d + 1) * _BLK)
+        H = _take_lane(X2, f1_ref[0][b])
+        Sm = _take_lane(H.T, f2_ref[0][b])
+        zs.append(_take_lane(Sm.T, f3_ref[0][b]))
+    P = jnp.concatenate(zs, axis=0) * v_ref[0]
+    acc = jnp.zeros((R, _LANE), jnp.float32)
+    for k in range(K):
+        acc = acc + P[k * R:(k + 1) * R]
+
+    # int32 literals: int64 weak types fail Mosaic under jax_enable_x64
+    @pl.when(s == jnp.int32(0))
+    def _():
+        o_ref[0] = acc
+
+    @pl.when(s != jnp.int32(0))
+    def _():
+        o_ref[0] = o_ref[0] + acc
+
+
+@partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nrows",
+                                   "interpret"))
+def _route_call(F1, F2, F3, VALS, x, *, K, R, T, S, RPP, nrows,
+                interpret=False):
+    x = x.astype(jnp.float32)
+    X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
+    X = X.at[: x.shape[0]].set(x.astype(jnp.float32))
+    # column-major slices (see build_route_plan): one transpose per
+    # slice, outside the kernel (XLA handles it once per call).
+    X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+    X = X.reshape(S * _BLK, _LANE)
+
+    stream = lambda: pl.BlockSpec(
+        (1, _H, _LANE), lambda t, s: (t * S + s, 0, 0),
+        memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_route_kernel, K=K, R=R),
+        grid=(T, S),
+        in_specs=[
+            pl.BlockSpec((_BLK, _LANE), lambda t, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            stream(), stream(), stream(), stream(),
+        ],
+        out_specs=pl.BlockSpec((1, R, _LANE), lambda t, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
+        interpret=interpret,
+    )
+    y = fn(X, F1, F2, F3, VALS)
+    return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+
+
+def route_spmv(plan: RoutePlan, x, *, interpret: bool = False):
+    """``y = A @ x`` through the routing plan (+ XLA spill path)."""
+    yr = _route_call(plan.F1, plan.F2, plan.F3, plan.VALS, x,
+                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
+                     RPP=plan.RPP, nrows=plan.nrows, interpret=interpret)
+    y = yr[: plan.nrows]
+    nvr = plan.vrow_src.size
+    if nvr:
+        y = y.at[jnp.asarray(plan.vrow_src)].add(
+            yr[plan.nrows: plan.nrows + nvr])
+    if plan.spill_plan is not None:
+        y = y + route_spmv(plan.spill_plan, x, interpret=interpret)
+    elif plan.spill[0].size:
+        sp_rows, sp_cols, sp_vals = plan.spill
+        contrib = jnp.asarray(sp_vals, jnp.float32) * x.astype(
+            jnp.float32)[jnp.asarray(sp_cols)]
+        y = y.at[jnp.asarray(sp_rows)].add(contrib)
+    return y

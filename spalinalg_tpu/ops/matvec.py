@@ -152,13 +152,70 @@ def _structure_concrete(mat) -> bool:
     return not isinstance(mat._ptr, jax.core.Tracer)
 
 
+# ----------------------------------------------------------------------
+# Routed Pallas path (kernels/csr_route): the fast unstructured-SpMV
+# kernel on TPU. Requires fully concrete f32 data (values are baked
+# into the routing tables) and moderate table inflation.
+# ----------------------------------------------------------------------
+
+_ROUTE_PLAN_CACHE: dict = {}
+_ROUTE_PLAN_CACHE_MAX = 16
+
+
+def _route_eligible(csr, x) -> bool:
+    import numpy as np
+
+    if jax.default_backend() not in ("tpu",):
+        return False
+    # structure AND values must be concrete (values are baked into the
+    # routing tables); x may be traced — the kernel is jit-compatible.
+    if isinstance(csr._ptr, jax.core.Tracer) or isinstance(
+            csr.values, jax.core.Tracer):
+        return False
+    if jnp.result_type(csr.values.dtype, x.dtype) != jnp.float32:
+        return False
+    # small problems aren't worth a kernel launch + plan
+    return csr.nse >= 4096
+
+
+def _route_plan(csr):
+    from .kernels.csr_route import build_route_plan
+    import numpy as np
+
+    key = (id(csr._ptr), id(csr.values), csr.nse, csr.nrows, csr.ncols)
+    hit = _ROUTE_PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit[2]
+    try:
+        plan = build_route_plan(
+            np.asarray(csr._ptr), np.asarray(csr.colind),
+            np.asarray(csr.values), csr.nrows, csr.ncols)
+    except ValueError:  # ncols/table budget exceeded
+        plan = None
+    if plan is not None and plan.spill_frac > 0.25:
+        plan = None  # pathological structure; XLA path is safer
+    if len(_ROUTE_PLAN_CACHE) >= _ROUTE_PLAN_CACHE_MAX:
+        _ROUTE_PLAN_CACHE.pop(next(iter(_ROUTE_PLAN_CACHE)))
+    # hold refs so ids stay valid while the entry lives
+    _ROUTE_PLAN_CACHE[key] = (csr._ptr, csr.values, plan)
+    return plan
+
+
 def csr_matvec(csr, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for CSR A (row-segmented reduction, N1).
 
-    Concrete structures use the scatter-free bucketed gather plan (fast
-    path); structures traced under a user jit fall back to the
-    ``segment_sum`` formulation.
+    Dispatch, fastest first: (1) the routed Pallas kernel
+    (kernels/csr_route — shape-preserving gather network, TPU only,
+    concrete f32 structures); (2) the scatter-free bucketed gather
+    plan; (3) the ``segment_sum`` formulation for structures traced
+    under a user jit.
     """
+    if _route_eligible(csr, x):
+        plan = _route_plan(csr)
+        if plan is not None:
+            from .kernels.csr_route import route_spmv
+
+            return route_spmv(plan, x)
     if _structure_concrete(csr):
         return _plan_spmv_jit(_row_plan(csr), csr.colind, csr.values, x)
     return _csr_spmv_kernel(csr.rowptr, csr.colind, csr.values, x,

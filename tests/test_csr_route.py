@@ -1,0 +1,134 @@
+"""Routed-SpMV plan + kernel tests (ops/kernels/csr_route).
+
+The plan builder is exercised directly on scipy-style CSR arrays; the
+kernel runs in interpret mode on CPU. On TPU the same plan feeds the
+compiled Pallas kernel (dispatched from ops.matvec.csr_matvec).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from spalinalg_tpu.ops.kernels.csr_route import (
+    build_route_plan,
+    route_spmv,
+    simulate_route,
+)
+
+
+def _plan_of(A):
+    A = A.tocsr()
+    A.sort_indices()
+    return build_route_plan(A.indptr, A.indices, A.data,
+                            A.shape[0], A.shape[1])
+
+
+def _check(A, rng, tol=2e-5):
+    A = A.tocsr()
+    A.sort_indices()
+    plan = _plan_of(A)
+    x = rng.normal(size=A.shape[1]).astype(np.float32)
+    yref = (A @ x).astype(np.float64)
+    scale = np.abs(yref).max() + 1.0
+
+    # simulator (routed part + manual spill)
+    ysim = simulate_route(plan, x).astype(np.float64)
+    sr, sc, sv = plan.spill
+    np.add.at(ysim, sr, sv * x[sc])
+    np.testing.assert_allclose(ysim / scale, yref / scale, atol=tol)
+
+    # interpret-mode kernel (includes recursive spill plans)
+    ypal = np.asarray(route_spmv(plan, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(ypal / scale, yref / scale, atol=tol)
+    return plan
+
+
+class TestRoutePlan:
+    def test_random(self, rng):
+        A = sps.random(700, 900, 0.02, random_state=7, dtype=np.float64)
+        plan = _check(A, rng)
+        assert plan.spill_frac < 0.05
+
+    def test_uniform_rows(self, rng):
+        n = 2048
+        cols = np.sort(rng.integers(0, n, size=(n, 16)), axis=1)
+        A = sps.csr_matrix(
+            (rng.normal(size=n * 16), cols.reshape(-1),
+             np.arange(n + 1) * 16), shape=(n, n))
+        plan = _check(A, rng)
+        assert plan.spill_frac < 0.02
+
+    def test_banded(self, rng):
+        A = sps.diags([-1.0, 4.0, -1.0], [-1, 0, 1], shape=(3000, 3000))
+        plan = _check(A, rng)
+        assert plan.spill_frac < 0.001
+
+    def test_skewed_rows_virtual(self, rng):
+        lens = np.minimum(rng.zipf(1.7, size=1000), 500)
+        ind = [np.sort(rng.choice(1200, size=min(int(l), 1200),
+                                  replace=False)) for l in lens]
+        indptr = np.concatenate([[0], np.cumsum([len(i) for i in ind])])
+        A = sps.csr_matrix(
+            (rng.normal(size=indptr[-1]), np.concatenate(ind), indptr),
+            shape=(1000, 1200))
+        plan = _check(A, rng)
+        # wide rows go through virtual rows, not the spill path
+        assert plan.vrow_src.size > 0
+        assert plan.spill_frac < 0.02
+
+    def test_hot_column_multicast(self, rng):
+        A = sps.csr_matrix(
+            (np.ones(800), (np.arange(800), np.zeros(800, int))),
+            shape=(800, 60))
+        plan = _check(A, rng)
+        assert plan.spill_frac == 0.0
+
+    def test_multi_slice(self, rng):
+        # ncols > 16384 forces multiple column slices
+        n, m = 600, 40000
+        A = sps.random(n, m, 0.001, random_state=3, dtype=np.float64)
+        plan = _check(A, rng)
+        assert plan.S == 3
+
+    def test_empty(self, rng):
+        _check(sps.csr_matrix((64, 64)), rng)
+
+    def test_duplicated_column_reads(self, rng):
+        # many rows reading the same few columns (payload sharing)
+        cols = rng.integers(0, 4, size=(500, 3))
+        cols = np.sort(cols + np.arange(3) * 4, axis=1)  # unique per row
+        A = sps.csr_matrix(
+            (rng.normal(size=1500), cols.reshape(-1),
+             np.arange(501) * 3), shape=(500, 16))
+        _check(A, rng)
+
+    def test_table_invariants(self, rng):
+        A = sps.random(300, 300, 0.03, random_state=11)
+        plan = _plan_of(A)
+        for F in (plan.F1, plan.F2, plan.F3):
+            f = np.asarray(F)
+            assert f.min() >= 0 and f.max() < 128
+        assert plan.K * plan.R == 512
+        assert plan.RPP % 128 == 0
+
+
+class TestDispatch:
+    def test_csr_matvec_falls_back_on_cpu(self, rng):
+        # on CPU backend the route path must not engage (gated); the
+        # result still matches scipy through the plan path.
+        from spalinalg_tpu import CsrMatrix
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+        A = sps.random(256, 256, 0.05, random_state=5).tocsr()
+        A.sort_indices()
+        csr = CsrMatrix._from_parts(
+            256, 256,
+            jnp.asarray(A.indptr, dtype=INDEX_DTYPE),
+            jnp.asarray(A.indices, dtype=INDEX_DTYPE),
+            jnp.asarray(A.data.astype(np.float32)))
+        x = rng.normal(size=256).astype(np.float32)
+        y = np.asarray(csr @ jnp.asarray(x))
+        np.testing.assert_allclose(y, (A @ x).astype(np.float32),
+                                   rtol=2e-4, atol=2e-5)
