@@ -532,18 +532,23 @@ def _route_call(F1, F2, F3, VALS, x, *, K, R, T, S, RPP, nrows,
     X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
     X = X.reshape(S * _BLK, _LANE)
 
+    # Index maps must return i32 everywhere: a Python literal ``0``
+    # traces as weak-i64 under the package-global ``jax_enable_x64``
+    # and Mosaic then fails to legalize the map's ``func.return``
+    # (observed on libtpu v5e AOT: "(i32, i64) -> ()").
+    _z = lambda: jnp.int32(0)
     stream = lambda: pl.BlockSpec(
-        (1, _H, _LANE), lambda t, s: (t * S + s, 0, 0),
+        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
         partial(_route_kernel, K=K, R=R),
         grid=(T, S),
         in_specs=[
-            pl.BlockSpec((_BLK, _LANE), lambda t, s: (s, 0),
+            pl.BlockSpec((_BLK, _LANE), lambda t, s: (s, _z()),
                          memory_space=pltpu.VMEM),
             stream(), stream(), stream(), stream(),
         ],
-        out_specs=pl.BlockSpec((1, R, _LANE), lambda t, s: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, R, _LANE), lambda t, s: (t, _z(), _z()),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,

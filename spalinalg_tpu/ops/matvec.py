@@ -187,9 +187,15 @@ def _route_plan(csr):
     if hit is not None:
         return hit[2]
     try:
-        plan = build_route_plan(
-            np.asarray(csr._ptr), np.asarray(csr.colind),
-            np.asarray(csr.values), csr.nrows, csr.ncols)
+        # Plans are cached across jit traces: table arrays must be real
+        # committed constants. Without this, building a plan while an
+        # outer jit is tracing wraps F1/F2/F3/VALS in that trace's
+        # tracers, which then escape via the cache (observed in the
+        # bench's fori_loop driver).
+        with jax.ensure_compile_time_eval():
+            plan = build_route_plan(
+                np.asarray(csr._ptr), np.asarray(csr.colind),
+                np.asarray(csr.values), csr.nrows, csr.ncols)
     except ValueError:  # ncols/table budget exceeded
         plan = None
     if plan is not None and plan.spill_frac > 0.25:
