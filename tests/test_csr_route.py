@@ -114,6 +114,52 @@ class TestRoutePlan:
         assert plan.RPP % 128 == 0
 
 
+class TestPlanCache:
+    def test_plans_stay_concrete_under_outer_trace(self, rng):
+        """Regression: building a cached plan while an *outer* jit is
+        tracing must not capture that trace's tracers in the cache
+        (observed via the bench's fori_loop driver; fixed with
+        ``jax.ensure_compile_time_eval`` in ops.matvec)."""
+        import jax
+
+        from spalinalg_tpu import CsrMatrix
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+        from spalinalg_tpu.ops import matvec as mv
+
+        A = sps.random(300, 300, 0.03, random_state=13).tocsr()
+        A.sort_indices()
+        csr = CsrMatrix._from_parts(
+            300, 300,
+            jnp.asarray(A.indptr, dtype=INDEX_DTYPE),
+            jnp.asarray(A.indices, dtype=INDEX_DTYPE),
+            jnp.asarray(A.data.astype(np.float32)))
+
+        mv._ROUTE_PLAN_CACHE.clear()
+        mv._ROW_PLAN_CACHE.clear()
+        built = {}
+
+        def f(x):
+            # build both cached plans from inside an active trace
+            built["route"] = mv._route_plan(csr)
+            built["row"] = mv._row_plan(csr)
+            return csr @ x
+
+        jax.make_jaxpr(f)(jnp.ones(300, jnp.float32))
+
+        plan = built["route"]
+        assert plan is not None
+        for arr in (plan.F1, plan.F2, plan.F3, plan.VALS):
+            assert not isinstance(arr, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(built["row"]):
+            assert not isinstance(leaf, jax.core.Tracer)
+
+        # and the cached plan still computes correctly afterwards
+        x = rng.normal(size=300).astype(np.float32)
+        y = np.asarray(route_spmv(plan, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(
+            y, (A @ x).astype(np.float32), rtol=2e-4, atol=2e-5)
+
+
 class TestDispatch:
     def test_csr_matvec_falls_back_on_cpu(self, rng):
         # on CPU backend the route path must not engage (gated); the
