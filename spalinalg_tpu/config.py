@@ -9,6 +9,7 @@ never read from the environment inside compute code.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, replace
 
 import numpy as np
@@ -27,7 +28,7 @@ class Config:
     # number of XLA ops per plan small).
     min_bucket_width: int = 4
     # Use Pallas kernels where available (False -> pure-XLA gather pipelines).
-    use_pallas: bool = False
+    use_pallas: bool = True
     # Numerical tolerance for parity checks against the CPU oracle.
     rtol_f32: float = 1e-5
     rtol_f64: float = 1e-12
@@ -44,7 +45,24 @@ class Config:
 
 
 _DEFAULT = Config()
+_STACK = [_DEFAULT]
 
 
 def default_config() -> Config:
     return _DEFAULT
+
+
+def current_config() -> Config:
+    """The active config: kernel dispatch, plan builders and the
+    parallel tier consult this (innermost :func:`use` scope wins)."""
+    return _STACK[-1]
+
+
+@contextmanager
+def use(cfg: Config):
+    """Scope a config: ``with config.use(cfg.with_(use_pallas=False)): ...``"""
+    _STACK.append(cfg)
+    try:
+        yield cfg
+    finally:
+        _STACK.pop()

@@ -88,6 +88,14 @@ def level_schedule(ptr: np.ndarray, ind: np.ndarray, n: int,
     """
     ptr = np.asarray(ptr, dtype=np.int64)
     ind = np.asarray(ind, dtype=np.int64)
+    if n > 2048:
+        from ..native import lib as _native
+
+        if _native.available():
+            n_levels, lev = _native.level_schedule(ptr, ind, n, lower=lower)
+            order = np.argsort(lev, kind="stable")
+            bounds = np.searchsorted(lev[order], np.arange(n_levels + 1))
+            return bounds.astype(np.int64), order.astype(np.int64)
     lev = np.zeros(n, dtype=np.int64)
     rows = range(n) if lower else range(n - 1, -1, -1)
     for i in rows:

@@ -42,6 +42,10 @@ _VMEM_OPERAND_BUDGET = 8 * 1024 * 1024  # operand bytes we let live in VMEM
 
 
 def _use_pallas(bsr, operand_bytes: int) -> bool:
+    from ..config import current_config
+
+    if not current_config().use_pallas:
+        return False
     if isinstance(bsr.indptr, jax.core.Tracer):
         return False  # structure must be concrete for the kernel call
     if jax.default_backend() == "cpu":
@@ -55,9 +59,18 @@ def bsr_matvec(bsr, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for BSR A.
 
     On TPU with a VMEM-resident operand this dispatches to the Pallas
-    double-buffered block-DMA kernel (`kernels/bsr_spmv.py`); otherwise the
+    streaming kernel (`kernels/bsr_stream.py`); otherwise the
     batched-einsum XLA path.
     """
+    from ..utils.metrics import instrument
+
+    nnz = bsr.nnz
+    itm = jnp.dtype(bsr.dtype).itemsize
+    return instrument("bsr_spmv", lambda: _bsr_matvec_impl(bsr, x),
+                      nnz=nnz, flops=2 * nnz, bytes=itm * nnz)
+
+
+def _bsr_matvec_impl(bsr, x):
     if _use_pallas(bsr, x.shape[0] * x.dtype.itemsize):
         from .kernels.bsr_stream import bsr_matvec_stream
 

@@ -27,6 +27,92 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bsr_matvec_stream", "bsr_matmat_stream"]
 
+# ----------------------------------------------------------------------
+# v3: multi-block windows. v2's one-block-per-grid-step structure is
+# overhead-bound (~260 ns/step measured vs the 78 ns HBM time of one
+# 64 KiB f32 block): the per-step pipeline bookkeeping dominates. v3
+# streams G blocks per grid step — the window DMA grows to G*br*bc*4
+# bytes while the step overhead stays constant — and accumulates into a
+# full-VMEM y buffer (zeroed at step 0), which removes both the revisit
+# logic and the post-kernel row mask.
+# ----------------------------------------------------------------------
+
+_V3_GROUP = 16            # blocks per grid step
+_V3_VMEM_BYTES = 4 << 20  # x / y single-buffer budget each
+
+
+def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
+    k = pl.program_id(0)
+
+    @pl.when(k == jnp.int32(0))
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    for i in range(G):
+        idx = k * jnp.int32(G) + jnp.int32(i)
+
+        @pl.when(idx < jnp.int32(nblocks))
+        def _():
+            row = row_ref[idx]
+            col = col_ref[idx]
+            xb = x_ref[col]
+            prod = jnp.dot(
+                blk_ref[i], xb, preferred_element_type=jnp.float32
+            )
+            y_ref[row] = y_ref[row] + prod.astype(y_ref.dtype)
+
+
+def _v3_eligible(nbr, nblocks, br, bc, x_dtype, data_dtype) -> bool:
+    if nblocks == 0:
+        return False
+    if bc % 128 or br % 8:
+        return False  # lane/sublane alignment of x rows and y rows
+    if data_dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return nbr * br * 4 <= _V3_VMEM_BYTES  # y is f32, single VMEM buffer
+
+
+def _stream_call_v3(indptr, indices, data, x, *, interpret, group=None):
+    import numpy as np
+
+    nbr = indptr.shape[0] - 1
+    nblocks, br, bc = data.shape
+    G = min(group or _V3_GROUP, nblocks)
+    npad = -(-nblocks // G) * G
+
+    ip = np.asarray(indptr)
+    rows_np = np.repeat(np.arange(nbr, dtype=np.int32), np.diff(ip))
+    rows_np = np.pad(rows_np, (0, npad - nblocks))
+    row_of_block = jnp.asarray(rows_np, jnp.int32)
+    cols_pad = jnp.zeros(npad, jnp.int32).at[:nblocks].set(
+        indices.astype(jnp.int32))
+
+    x2 = x.reshape(-1, bc).astype(jnp.float32)
+
+    # index-map literals must be i32 everywhere (including the implicit
+    # maps of full-array specs): weak-i64 constants (package-global
+    # jax_enable_x64) fail Mosaic's func.return legalization.
+    _z = lambda: jnp.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npad // G,),
+        in_specs=[
+            pl.BlockSpec((G, br, bc), lambda k, *_: (k, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(x2.shape, lambda k, *_: (_z(), _z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nbr, br), lambda k, *_: (_z(), _z()),
+                               memory_space=pltpu.VMEM),
+    )
+    fn = pl.pallas_call(
+        partial(_kernel_v3, G=G, nblocks=nblocks),
+        out_shape=jax.ShapeDtypeStruct((nbr, br), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    return fn(row_of_block, cols_pad, data, x2)
+
 
 def _kernel_v2(row_ref, col_ref, blk_ref, x_ref, y_ref, *, K):
     k = pl.program_id(0)
@@ -122,6 +208,12 @@ def _stream_call_inner(indptr, indices, data, x, *, K, interpret):
 
 def bsr_matvec_stream(bsr, x: jax.Array, *, interpret: bool = False):
     """``y = A @ x`` via the streaming (auto-pipelined) kernel."""
+    nbr = bsr.nrows // bsr.blocksize[0]
+    if _v3_eligible(nbr, bsr.n_blocks, *bsr.blocksize, x.dtype,
+                    bsr.data.dtype):
+        y = _stream_call_v3(bsr.indptr, bsr.indices, bsr.data, x,
+                            interpret=interpret)
+        return y.reshape(-1)[: bsr.nrows].astype(x.dtype)
     y = _stream_call(bsr.indptr, bsr.indices, bsr.data, x, K=1,
                      interpret=interpret)
     return y.reshape(-1)[: bsr.nrows]

@@ -65,6 +65,33 @@ class SpgemmPlan:
         """2 × product-term count (multiply + add)."""
         return 2 * int(self.a_idx.shape[0])
 
+    # TPU numeric-phase artifacts (route plans for the two value
+    # gathers + the gather-only reduce plan), built lazily per plan.
+    def _tpu_numeric(self, nnz_a: int, nnz_b: int):
+        cached = getattr(self, "_tpu_cache", None)
+        if cached is not None:
+            return cached
+        from .kernels.csr_route import build_route_plan
+        from .reduction import build_segment_reduce_plan
+
+        n_terms = int(self.a_idx.shape[0])
+        arange = np.arange(n_terms + 1, dtype=np.int64)
+        ones = np.ones(n_terms, np.float32)
+        try:
+            pa = build_route_plan(arange, np.asarray(self.a_idx, np.int64),
+                                  ones, n_terms, max(nnz_a, 1))
+            pb = build_route_plan(arange, np.asarray(self.b_idx, np.int64),
+                                  ones, n_terms, max(nnz_b, 1))
+        except ValueError:  # table budget exceeded
+            object.__setattr__(self, "_tpu_cache", (None, None, None))
+            return (None, None, None)
+        sizes = np.bincount(np.asarray(self.gid, np.int64),
+                            minlength=max(self.n_out, 1))
+        rp = build_segment_reduce_plan(sizes)
+        out = (pa, pb, rp)
+        object.__setattr__(self, "_tpu_cache", out)
+        return out
+
 
 def _csr_host_arrays(mat):
     ptr = np.asarray(mat._ptr, dtype=np.int64)
@@ -163,25 +190,30 @@ def _spgemm_numeric(a_idx, b_idx, gid, a_values, b_values, *, n_out):
 
 
 def spgemm_apply(plan: SpgemmPlan, a_values: jax.Array, b_values: jax.Array):
-    """Numeric phase: returns the output CSR value array.
+    """Numeric phase: returns the output CSR value array. Device-resident.
 
-    Concrete values take the host path (``bincount`` over the plan's
-    segment ids — vectorised C); traced values use the device formulation
-    so the op stays jit- and grad-compatible. Per-element gathers serialise
-    on TPU (SURVEY/landscape measurements), so the host path wins for
-    one-shot eager products.
+    On TPU with f32-class values the two value gathers run through the
+    routed-gather kernel (``kernels/csr_route`` with unit values — the
+    per-term products ``A.values[a_idx]``/``B.values[b_idx]`` are each
+    an SpMV by a one-entry-per-row selection matrix) and the output
+    accumulation through the gather-only segment-reduce plan; XLA 1-D
+    gathers never appear on the hot path. Elsewhere (CPU backend, f64)
+    the XLA gather + sorted ``segment_sum`` formulation is used — still
+    device-side, jit- and grad-compatible.
     """
-    if not (isinstance(a_values, jax.core.Tracer)
-            or isinstance(b_values, jax.core.Tracer)):
-        av = np.asarray(a_values)
-        bv = np.asarray(b_values)
-        a_idx = np.asarray(plan.a_idx)
-        b_idx = np.asarray(plan.b_idx)
-        gid = np.asarray(plan.gid)
-        prod = av[a_idx] * bv[b_idx]
-        out = np.bincount(gid, weights=prod, minlength=max(plan.n_out, 1))
-        out = out[: plan.n_out].astype(np.result_type(av.dtype, bv.dtype))
-        return jnp.asarray(out)
+    out_dtype = jnp.result_type(a_values.dtype, b_values.dtype)
+    n_terms = int(plan.a_idx.shape[0])
+    if (jax.default_backend() == "tpu" and out_dtype == jnp.float32
+            and n_terms >= 4096):
+        pa, pb, rp = plan._tpu_numeric(int(a_values.shape[0]),
+                                       int(b_values.shape[0]))
+        if pa is not None:
+            from .kernels.csr_route import route_spmv
+            from .reduction import segment_reduce
+
+            u = route_spmv(pa, a_values)
+            w = route_spmv(pb, b_values)
+            return segment_reduce(rp, u * w)[: plan.n_out]
     return _spgemm_numeric(
         plan.a_idx, plan.b_idx, plan.gid, a_values, b_values, n_out=plan.n_out
     )
@@ -215,6 +247,7 @@ def spgemm(a, b):
     symbolically in the plan instead of via runtime transposes.
     """
     from ..formats.compressed import CscMatrix, CsrMatrix
+    from ..utils.metrics import instrument
 
     if isinstance(a, CscMatrix):
         # CSC storage of A is the CSR storage of Aᵀ. (A·B)ᵀ = Bᵀ·Aᵀ, so the
@@ -227,11 +260,15 @@ def spgemm(a, b):
                 "(reference: csc/ops/mul.rs:8)"
             )
         plan = _cached_plan(bm, am)
-        values = spgemm_apply(plan, b._values, a._values)
+        values = instrument(
+            "spgemm", lambda: spgemm_apply(plan, b._values, a._values),
+            nnz=plan.n_out, flops=plan.num_flops())
         return CscMatrix._from_parts(
             a.nrows, b.ncols, plan.rowptr, plan.colind, values
         )
 
     plan = _cached_plan(a, b)
-    values = spgemm_apply(plan, a._values, b._values)
+    values = instrument(
+        "spgemm", lambda: spgemm_apply(plan, a._values, b._values),
+        nnz=plan.n_out, flops=plan.num_flops())
     return CsrMatrix._from_parts(a.nrows, b.ncols, plan.rowptr, plan.colind, values)

@@ -37,8 +37,16 @@ from ..dtypes import INDEX_DTYPE
 __all__ = ["DistCsr", "partition_csr", "make_row_mesh"]
 
 
-def make_row_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
-    """1-D device mesh over all (or the first ``n_devices``) devices."""
+def make_row_mesh(n_devices: Optional[int] = None,
+                  axis: Optional[str] = None) -> Mesh:
+    """1-D device mesh over all (or the first ``n_devices``) devices.
+
+    The axis name defaults to :func:`config.current_config`'s
+    ``partition_axis``."""
+    if axis is None:
+        from ..config import current_config
+
+        axis = current_config().partition_axis
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -93,16 +101,19 @@ def partition_csr(
     csr,
     mesh: Mesh,
     *,
-    axis: str = "rows",
+    axis: Optional[str] = None,
     comm: Optional[str] = None,
 ) -> DistCsr:
     """Partition a (host-concrete) CSR matrix row-wise over ``mesh``.
+    ``axis`` defaults to the mesh's first axis name.
 
     Host-side structure work, once per matrix: slice rows into P equal
     blocks (padded), equalise per-shard nse with sentinel padding, choose
     the communication strategy from the bandwidth of the structure unless
     forced via ``comm``.
     """
+    if axis is None:
+        axis = mesh.axis_names[0]
     P_ = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     ptr = np.asarray(csr._ptr, dtype=np.int64)
     minor = np.asarray(csr._minor, dtype=np.int64)

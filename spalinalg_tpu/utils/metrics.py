@@ -53,10 +53,16 @@ class OpMetrics:
 
 @dataclass
 class MetricsRecorder:
-    """Collects :class:`OpMetrics`; optionally streams JSON lines."""
+    """Collects :class:`OpMetrics`; optionally streams JSON lines.
+
+    Disabled by default (zero overhead on the hot path); enable with
+    :func:`enable`. The core ops (SpMV/SpMM/SpGEMM, dense and
+    distributed dispatch) record through :func:`instrument`."""
 
     jsonl_stream: Optional[object] = None
     records: List[OpMetrics] = field(default_factory=list)
+    enabled: bool = False
+    _busy: bool = False  # reentrancy guard (csc -> csr mirror etc.)
 
     def record(self, m: OpMetrics) -> None:
         self.records.append(m)
@@ -90,6 +96,44 @@ _GLOBAL = MetricsRecorder()
 
 def recorder() -> MetricsRecorder:
     return _GLOBAL
+
+
+def enable(jsonl_stream=None) -> MetricsRecorder:
+    """Turn on per-op recording (optionally streaming JSON lines)."""
+    _GLOBAL.enabled = True
+    if jsonl_stream is not None:
+        _GLOBAL.jsonl_stream = jsonl_stream
+    return _GLOBAL
+
+
+def disable() -> None:
+    _GLOBAL.enabled = False
+    _GLOBAL.jsonl_stream = None
+
+
+def instrument(op: str, fn, *, nnz: int = 0, flops: int = 0,
+               bytes: int = 0):
+    """Run ``fn()``; when the global recorder is enabled, time it to
+    completion (``block_until_ready``) and record an :class:`OpMetrics`.
+    Nested instrumented calls (e.g. the CSC->CSR mirror) record only at
+    the outermost level."""
+    rec = _GLOBAL
+    if not rec.enabled or rec._busy:
+        return fn()
+    rec._busy = True
+    try:
+        import jax
+
+        t0 = time.perf_counter()
+        out = fn()
+        if isinstance(out, jax.core.Tracer):  # under jit: nothing to time
+            return out
+        jax.block_until_ready(out)
+        rec.record(OpMetrics(op=op, seconds=time.perf_counter() - t0,
+                             nnz=nnz, flops=flops, bytes=bytes))
+        return out
+    finally:
+        rec._busy = False
 
 
 def roofline_model(op: str, nnz: int, *, dtype_bytes: int = 4,

@@ -35,8 +35,8 @@ def _check(A, rng, tol=2e-5):
 
     # simulator (routed part + manual spill)
     ysim = simulate_route(plan, x).astype(np.float64)
-    sr, sc, sv = plan.spill
-    np.add.at(ysim, sr, sv * x[sc])
+    sr, sc, ssrc = plan.spill
+    np.add.at(ysim, sr, A.data[ssrc] * x[sc])
     np.testing.assert_allclose(ysim / scale, yref / scale, atol=tol)
 
     # interpret-mode kernel (includes recursive spill plans)
@@ -148,7 +148,7 @@ class TestPlanCache:
 
         plan = built["route"]
         assert plan is not None
-        for arr in (plan.F1, plan.F2, plan.F3, plan.VALS):
+        for arr in (plan.FP, plan.bake(plan.default_values)):
             assert not isinstance(arr, jax.core.Tracer)
         for leaf in jax.tree_util.tree_leaves(built["row"]):
             assert not isinstance(leaf, jax.core.Tracer)
@@ -158,6 +158,45 @@ class TestPlanCache:
         y = np.asarray(route_spmv(plan, jnp.asarray(x), interpret=True))
         np.testing.assert_allclose(
             y, (A @ x).astype(np.float32), rtol=2e-4, atol=2e-5)
+
+
+class TestValueUpdates:
+    """Routing structure is values-independent (VERDICT r1 item 6):
+    new values reuse the plan, and grads flow through ``values``."""
+
+    def _small(self):
+        A = sps.random(400, 400, 0.02, random_state=21).tocsr()
+        A.sort_indices()
+        return A
+
+    def test_values_update_reuses_plan(self, rng):
+        A = self._small()
+        plan = build_route_plan(A.indptr, A.indices, A.data, 400, 400)
+        v2 = rng.normal(size=A.nnz).astype(np.float32)
+        y2 = np.asarray(route_spmv(
+            plan, jnp.ones(400, jnp.float32), jnp.asarray(v2),
+            interpret=True))
+        A2 = sps.csr_matrix((v2, A.indices, A.indptr), shape=(400, 400))
+        yref = A2 @ np.ones(400, np.float32)
+        np.testing.assert_allclose(y2, yref, rtol=2e-4, atol=2e-5)
+
+    def test_grad_through_values(self, rng):
+        import jax
+
+        A = self._small()
+        plan = build_route_plan(A.indptr, A.indices, A.data, 400, 400)
+        x = jnp.asarray(rng.normal(size=400).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=400).astype(np.float32))
+
+        def loss(vals):
+            return jnp.vdot(w, route_spmv(plan, x, vals, interpret=True))
+
+        g = jax.grad(loss)(jnp.asarray(A.data.astype(np.float32)))
+        # d/dv[e] (w . A(v) x) = w[row_e] * x[col_e]
+        rows = np.repeat(np.arange(400), np.diff(A.indptr))
+        gref = np.asarray(w)[rows] * np.asarray(x)[A.indices]
+        np.testing.assert_allclose(np.asarray(g), gref,
+                                   rtol=2e-4, atol=2e-5)
 
 
 class TestDispatch:

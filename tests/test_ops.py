@@ -171,6 +171,34 @@ class TestSpgemm:
             seg = ind[ptr[r]:ptr[r + 1]]
             assert np.all(np.diff(seg) > 0)
 
+    def test_tpu_numeric_routed_formulation(self, rng):
+        """The TPU numeric path (two unit-valued routed gathers + the
+        gather-only segment reduce) must agree with scipy. Exercised in
+        interpret mode on CPU (the compiled dispatch requires TPU)."""
+        import scipy.sparse as sps
+
+        from spalinalg_tpu import spgemm_plan
+        from spalinalg_tpu.ops.kernels.csr_route import route_spmv
+        from spalinalg_tpu.ops.reduction import segment_reduce
+
+        A = sps.random(300, 250, 0.04, random_state=3).tocsr()
+        B = sps.random(250, 280, 0.04, random_state=4).tocsr()
+        A.sort_indices(), B.sort_indices()
+        a = CsrMatrix(300, 250, A.indptr, A.indices,
+                      A.data.astype(np.float32))
+        b = CsrMatrix(250, 280, B.indptr, B.indices,
+                      B.data.astype(np.float32))
+        plan = spgemm_plan(a, b)
+        pa, pb, rp = plan._tpu_numeric(a.nnz, b.nnz)
+        assert pa is not None
+        u = route_spmv(pa, a.values, interpret=True)
+        w = route_spmv(pb, b.values, interpret=True)
+        vals = np.asarray(segment_reduce(rp, u * w)[: plan.n_out])
+        C = (A @ B).tocsr()
+        C.sort_indices()
+        np.testing.assert_allclose(vals, C.data.astype(np.float32),
+                                   rtol=2e-4, atol=2e-5)
+
     def test_plan_reuse_numeric_only(self):
         # symbolic/numeric split: same structure, new values
         from spalinalg_tpu import spgemm_apply, spgemm_plan
