@@ -63,30 +63,63 @@ def permute_csr(csr, perm: np.ndarray):
 
 @dataclass(frozen=True, eq=False)
 class CholeskyFactor:
-    """Factorization result: ordering + banded panel factor (or dense)."""
+    """Factorization result: ordering + banded/supernodal/dense factor."""
 
     n: int
     perm: Optional[np.ndarray]          # None -> natural order
-    band: Optional[BandCholeskyFactor]  # panelled factor
+    band: Optional[BandCholeskyFactor]  # panelled banded factor
     dense_l: Optional[jax.Array]        # dense fallback factor
+    snf: Optional[object] = None        # SupernodalFactor (general case)
 
     @property
     def is_dense(self) -> bool:
         return self.dense_l is not None
 
 
+def _supernodal_cholesky(csr, *, reorder: bool) -> CholeskyFactor:
+    """General-sparsity path: AMD + postorder, supernodal multifrontal."""
+    from .supernodal import build_supernodal_plan, supernodal_factor
+    from .symbolic import amd_ordering, chol_symbolic, etree, postorder
+
+    n = csr.nrows
+    if reorder:
+        p1 = amd_ordering(csr)
+    else:
+        p1 = np.arange(n, dtype=np.int64)
+    m1 = permute_csr(csr, p1)
+    ptr = np.asarray(m1._ptr, dtype=np.int64)
+    ind = np.asarray(m1._minor, dtype=np.int64)[: int(ptr[-1])]
+    post = postorder(etree(ptr, ind, n))
+    perm = p1[post]
+    mat = permute_csr(csr, perm)
+    ptr = np.asarray(mat._ptr, dtype=np.int64)
+    ind = np.asarray(mat._minor, dtype=np.int64)[: int(ptr[-1])]
+    sym = chol_symbolic(ptr, ind, n)
+    plan = build_supernodal_plan(sym, ptr, ind)
+    vals = mat._values[: int(ptr[-1])]
+    snf = supernodal_factor(plan, vals)
+    return CholeskyFactor(n=n, perm=perm, band=None, dense_l=None, snf=snf)
+
+
 def cholesky(csr, *, reorder: bool = True, panel: int = 64,
-             dense_threshold: float = 0.45) -> CholeskyFactor:
+             band_threshold: float = 0.12,
+             method: str = "auto") -> CholeskyFactor:
     """Factor an SPD CSR matrix ``A = L Lᵀ``.
 
-    ``reorder=False`` keeps the natural ordering (band already tight).
-    ``dense_threshold``: if the (permuted) half-bandwidth exceeds this
-    fraction of n, densify instead — the band algorithm would touch nearly
-    every entry anyway.
+    ``method``: "auto" picks the banded MXU-panel pipeline when an RCM
+    band is tight (band work ~ n·b² stays near the true fill) and the
+    general supernodal multifrontal path (AMD ordering, elimination
+    tree, batched dense fronts) otherwise; "banded" / "supernodal"
+    force a path. ``reorder=False`` keeps the natural ordering.
     """
     if csr.nrows != csr.ncols:
         raise ShapeError(f"Cholesky needs a square matrix, got {csr.shape}")
     n = csr.nrows
+
+    if method not in ("auto", "banded", "supernodal", "dense"):
+        raise ValueError(f"unknown cholesky method {method!r}")
+    if method == "supernodal":
+        return _supernodal_cholesky(csr, reorder=reorder)
 
     perm = None
     mat = csr
@@ -98,10 +131,20 @@ def cholesky(csr, *, reorder: bool = True, panel: int = 64,
         if pbw < bw:
             perm, mat, bw = p, pm, pbw
 
-    if n <= 2 or bw >= max(2, int(dense_threshold * n)):
+    if n <= 2 or method == "dense":
         dense = mat.to_dense()
         return CholeskyFactor(n=n, perm=perm,
                               band=None, dense_l=jnp.linalg.cholesky(dense))
+
+    if method == "auto":
+        # band too wide for the O(n·b²) panel pipeline, or the (P, m, m)
+        # slab stack would not fit: general supernodal path instead
+        nb = max(1, min(panel, n))
+        itemsize = jnp.dtype(mat._values.dtype).itemsize
+        slab_bytes = -(-n // nb) * (nb + bw) ** 2 * itemsize
+        if (bw >= max(2, int(band_threshold * n))
+                or slab_bytes > 1_500_000_000):
+            return _supernodal_cholesky(csr, reorder=reorder)
 
     fac = band_cholesky_factor(mat, bandwidth=bw, panel=panel)
     return CholeskyFactor(n=n, perm=perm, band=fac, dense_l=None)
@@ -111,7 +154,11 @@ def cholesky_solve(fac: CholeskyFactor, b) -> jax.Array:
     """Solve ``A x = b`` given a :func:`cholesky` factor."""
     b = jnp.asarray(b)
     bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
-    if fac.is_dense:
+    if fac.snf is not None:
+        from .supernodal import supernodal_solve
+
+        xp = supernodal_solve(fac.snf, bp)
+    elif fac.is_dense:
         from jax.scipy.linalg import solve_triangular
 
         y = solve_triangular(fac.dense_l, bp, lower=True)

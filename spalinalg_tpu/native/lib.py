@@ -76,6 +76,15 @@ def get() -> Optional[ctypes.CDLL]:
         lib.spal_route_color.argtypes = [
             _I64, ctypes.c_int64, _I32, _I32, _I32, _I32, _U8,
         ]
+        lib.spal_etree.restype = None
+        lib.spal_etree.argtypes = [_I64, _I64, ctypes.c_int64, _I64]
+        lib.spal_chol_symbolic.restype = ctypes.c_int64
+        lib.spal_chol_symbolic.argtypes = [
+            _I64, _I64, ctypes.c_int64, _I64, _I64, _I64, _I64,
+            ctypes.c_void_p,
+        ]
+        lib.spal_amd.restype = None
+        lib.spal_amd.argtypes = [_I64, _I64, ctypes.c_int64, _I64]
         _lib = lib
         return _lib
 
@@ -148,6 +157,50 @@ def spgemm_symbolic(aptr, acol, nrows_a, bptr, bcol, ncols_b):
     )
     return (a_idx[:total], b_idx[:total], gid[:total], out_rowptr,
             out_colind[:n_out].copy())
+
+
+def etree(ptr, ind, n):
+    lib = get()
+    assert lib is not None
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    lib.spal_etree(ptr, ind, n, parent)
+    return parent
+
+
+def chol_symbolic(ptr, ind, n):
+    """Supernodal symbolic phase on a POSTORDERED symmetric structure.
+
+    Returns (parent, snode_ptr, rows_ptr, rows_idx): supernode column
+    boundaries plus the concatenated per-supernode row structures."""
+    lib = get()
+    assert lib is not None
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    parent = np.empty(max(n, 1), dtype=np.int64)
+    nsn_out = np.zeros(1, dtype=np.int64)
+    snode_ptr = np.zeros(n + 1, dtype=np.int64)
+    rows_ptr = np.zeros(n + 1, dtype=np.int64)
+    total = lib.spal_chol_symbolic(ptr, ind, n, parent, nsn_out,
+                                   snode_ptr, rows_ptr, None)
+    rows_idx = np.empty(max(total, 1), dtype=np.int64)
+    lib.spal_chol_symbolic(ptr, ind, n, parent, nsn_out, snode_ptr,
+                           rows_ptr,
+                           rows_idx.ctypes.data_as(ctypes.c_void_p))
+    nsn = int(nsn_out[0])
+    return (parent, snode_ptr[: nsn + 1].copy(),
+            rows_ptr[: nsn + 1].copy(), rows_idx[:total])
+
+
+def amd(ptr, ind, n):
+    lib = get()
+    assert lib is not None
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    lib.spal_amd(ptr, ind, n, perm)
+    return perm
 
 
 def route_color(panel_ptr, g, f, sh):

@@ -132,14 +132,25 @@ class TestCholeskyApi:
             rtol=1e-9,
         )
 
-    def test_dense_fallback(self, rng):
-        # dense-ish SPD: RCM can't band it; dense path must kick in
+    def test_dense_ish_goes_general(self, rng):
+        # dense-ish SPD: RCM can't band it; the general supernodal path
+        # handles it (one big front), replacing the r1 dense fallback
         d = rng.normal(size=(20, 20))
         d = d @ d.T + 20 * np.eye(20)
         a = csr_of_dense(d)
         fac = cholesky(a)
-        assert fac.is_dense
+        assert fac.snf is not None and not fac.is_dense
         b = rng.normal(size=20)
+        np.testing.assert_allclose(np.asarray(cholesky_solve(fac, b)),
+                                   np.linalg.solve(d, b), rtol=1e-8)
+
+    def test_dense_method_forced(self, rng):
+        d = rng.normal(size=(16, 16))
+        d = d @ d.T + 16 * np.eye(16)
+        a = csr_of_dense(d)
+        fac = cholesky(a, method="dense")
+        assert fac.is_dense
+        b = rng.normal(size=16)
         np.testing.assert_allclose(np.asarray(cholesky_solve(fac, b)),
                                    np.linalg.solve(d, b), rtol=1e-8)
 
