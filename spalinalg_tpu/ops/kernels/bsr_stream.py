@@ -72,6 +72,42 @@ def _v3_eligible(nbr, nblocks, br, bc, x_dtype, data_dtype) -> bool:
     return nbr * br * 4 <= _V3_VMEM_BYTES  # y is f32, single VMEM buffer
 
 
+def stream_v3_arrays(row_of_block, col_of_block, data, x2, *, nbr,
+                     nblocks, group=None, interpret=False):
+    """v3 kernel on explicit (padded) block arrays.
+
+    ``row_of_block``/``col_of_block`` are (npad,) int32 (may be traced —
+    e.g. shard_map operands), ``data`` (npad, br, bc), ``x2`` (nbc, bc)
+    f32. Padding blocks must carry zero data (they accumulate harmlessly
+    into their ``row_of_block`` slot)."""
+    npad, br, bc = data.shape
+    G = min(group or _V3_GROUP, npad)
+
+    # index-map literals must be i32 everywhere (including the implicit
+    # maps of full-array specs): weak-i64 constants (package-global
+    # jax_enable_x64) fail Mosaic's func.return legalization.
+    _z = lambda: jnp.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(-(-npad // G),),
+        in_specs=[
+            pl.BlockSpec((G, br, bc), lambda k, *_: (k, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(x2.shape, lambda k, *_: (_z(), _z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nbr, br), lambda k, *_: (_z(), _z()),
+                               memory_space=pltpu.VMEM),
+    )
+    fn = pl.pallas_call(
+        partial(_kernel_v3, G=G, nblocks=nblocks),
+        out_shape=jax.ShapeDtypeStruct((nbr, br), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    return fn(row_of_block, col_of_block, data, x2)
+
+
 def _stream_call_v3(indptr, indices, data, x, *, interpret, group=None):
     import numpy as np
 
@@ -88,30 +124,8 @@ def _stream_call_v3(indptr, indices, data, x, *, interpret, group=None):
         indices.astype(jnp.int32))
 
     x2 = x.reshape(-1, bc).astype(jnp.float32)
-
-    # index-map literals must be i32 everywhere (including the implicit
-    # maps of full-array specs): weak-i64 constants (package-global
-    # jax_enable_x64) fail Mosaic's func.return legalization.
-    _z = lambda: jnp.int32(0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(npad // G,),
-        in_specs=[
-            pl.BlockSpec((G, br, bc), lambda k, *_: (k, _z(), _z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(x2.shape, lambda k, *_: (_z(), _z()),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nbr, br), lambda k, *_: (_z(), _z()),
-                               memory_space=pltpu.VMEM),
-    )
-    fn = pl.pallas_call(
-        partial(_kernel_v3, G=G, nblocks=nblocks),
-        out_shape=jax.ShapeDtypeStruct((nbr, br), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )
-    return fn(row_of_block, cols_pad, data, x2)
+    return stream_v3_arrays(row_of_block, cols_pad, data, x2, nbr=nbr,
+                            nblocks=nblocks, group=G, interpret=interpret)
 
 
 def _kernel_v2(row_ref, col_ref, blk_ref, x_ref, y_ref, *, K):

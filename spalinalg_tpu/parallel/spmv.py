@@ -147,17 +147,40 @@ def _local_spmm(rowptr, colind, values, X_local, nrows_local):
 def dist_spmm(dist: DistCsr, X_sharded: jax.Array) -> jax.Array:
     """``Y = A @ X`` with A row-partitioned and X/Y row-sharded ``(n, K)``.
 
-    Dense tall-skinny right-hand sides (BASELINE config[1]/[4]); the
-    operand rows are all-gathered over ICI (halo-slab SpMM follows the
-    same pattern as :func:`dist_spmv` and currently reuses all-gather).
+    Dense tall-skinny right-hand sides (BASELINE config[1]/[4]). Banded
+    structures exchange halo row-slabs of X with their neighbours (two
+    ``ppermute``s, K columns wide, overlapped by XLA with the local
+    compute); scattered structures all-gather the operand rows.
     """
     mesh, axis = dist.mesh, dist.axis
     rows_per = dist.rows_per_shard
+    cols_per = _padded_len(dist.ncols, dist.n_shards) // dist.n_shards
+    halo = dist.halo_width
 
-    def kernel(rp, ci, vv, Xl):
-        rp, ci, vv = rp[0], ci[0], vv[0]
-        Xg = jax.lax.all_gather(Xl, axis, tiled=True)  # (ncols_padded, K)
-        return _local_spmm(rp, ci, vv, Xg, rows_per)
+    if dist.comm == "allgather":
+
+        def kernel(rp, ci, vv, Xl):
+            rp, ci, vv = rp[0], ci[0], vv[0]
+            Xg = jax.lax.all_gather(Xl, axis, tiled=True)  # (ncols_pad, K)
+            return _local_spmm(rp, ci, vv, Xg, rows_per)
+
+    else:  # halo slabs, same plan as dist_spmv
+
+        def kernel(rp, ci, vv, Xl):
+            rp, ci, vv = rp[0], ci[0], vv[0]
+            p = jax.lax.axis_index(axis)
+            n = jax.lax.axis_size(axis)
+            h = min(halo, cols_per) if halo > 0 else 0
+            if h > 0:
+                left = jax.lax.ppermute(
+                    Xl[-h:], axis, [(i, i + 1) for i in range(n - 1)])
+                right = jax.lax.ppermute(
+                    Xl[:h], axis, [(i + 1, i) for i in range(n - 1)])
+                X_ext = jnp.concatenate([left, Xl, right], axis=0)
+            else:
+                X_ext = Xl
+            local_ci = ci - (p * cols_per - h)
+            return _local_spmm(rp, local_ci, vv, X_ext, rows_per)
 
     fn = shard_map(
         kernel,

@@ -133,6 +133,86 @@ class TestDistSpmm:
         np.testing.assert_allclose(got, d @ X, rtol=1e-12)
 
 
+    def test_spmm_halo_parity(self, mesh):
+        from spalinalg_tpu.parallel.spmv import dist_spmm, shard_matrix_rows
+
+        a, d = _banded_csr(96, bw=2)
+        dist = partition_csr(a, mesh)
+        assert dist.comm == "halo"
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(96, 8))
+        Xs = shard_matrix_rows(X, dist)
+        Y = dist_spmm(dist, Xs)
+        np.testing.assert_allclose(np.asarray(Y)[:96], d @ X, rtol=1e-12)
+
+
+class TestDistBsr:
+    def _block_banded(self, nbr=10, bs=8):
+        from spalinalg_tpu import BsrMatrix
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+        rng = np.random.default_rng(3)
+        indptr = [0]
+        indices = []
+        for i in range(nbr):
+            cols = [j for j in (i - 1, i, i + 1) if 0 <= j < nbr]
+            indices.extend(cols)
+            indptr.append(len(indices))
+        data = rng.normal(size=(len(indices), bs, bs)).astype(np.float32)
+        n = nbr * bs
+        bsr = BsrMatrix._from_parts(
+            n, n, bs, bs,
+            jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
+            jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE),
+            jnp.asarray(data))
+        import scipy.sparse as sps
+
+        dense = sps.bsr_matrix(
+            (data, np.asarray(indices), np.asarray(indptr)),
+            shape=(n, n)).toarray()
+        return bsr, dense
+
+    def test_partition_uniform_shards(self, mesh):
+        from spalinalg_tpu.parallel.bsr import partition_bsr
+
+        bsr, _ = self._block_banded()
+        d = partition_bsr(bsr, mesh)
+        assert d.rows.shape == (8, d.nblk_per_shard)
+        assert d.data.shape == (8, d.nblk_per_shard, 8, 8)
+        assert d.nblk_per_shard % 16 == 0
+
+    def test_dist_bsr_spmv_parity(self, mesh):
+        from spalinalg_tpu.parallel.bsr import (
+            dist_bsr_spmv,
+            partition_bsr,
+            shard_bsr_vector,
+        )
+
+        bsr, dense = self._block_banded()
+        d = partition_bsr(bsr, mesh)
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=bsr.ncols).astype(np.float32)
+        xs = shard_bsr_vector(x, d)
+        y = np.asarray(dist_bsr_spmv(d, xs))[: bsr.nrows]
+        np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-4)
+
+    def test_dist_bsr_matches_single_device(self, mesh):
+        from spalinalg_tpu.parallel.bsr import (
+            dist_bsr_spmv,
+            partition_bsr,
+            shard_bsr_vector,
+        )
+
+        bsr, _ = self._block_banded(nbr=12, bs=8)
+        d = partition_bsr(bsr, mesh)
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=bsr.ncols).astype(np.float32)
+        y1 = np.asarray(bsr @ jnp.asarray(x))
+        xs = shard_bsr_vector(x, d)
+        yN = np.asarray(dist_bsr_spmv(d, xs))[: bsr.nrows]
+        np.testing.assert_allclose(yN, y1, rtol=2e-5, atol=2e-5)
+
+
 class TestMultihost:
     def test_initialize_single_process_noop(self):
         from spalinalg_tpu.parallel.multihost import initialize
