@@ -46,8 +46,12 @@ def _hbm() -> float:
     return _HBM_GBPS["v5e"] * 1e9
 
 
-def _loop_rate(matvec, x0, n_elems, *, k2=33, reps=2):
-    """On-device seconds/iteration of ``x -> normalize(matvec(x))``."""
+def _loop_rate(matvec, x0, n_elems, *, k_lo=33, k_hi=129, reps=3):
+    """On-device seconds/iteration of ``x -> normalize(matvec(x))``.
+
+    Differences the totals of two loop lengths well above the dispatch
+    floor (k=1 baselines proved noisy through the relay: shipping and
+    grant overheads don't cancel cleanly at single-iteration scale)."""
     import jax
     import jax.numpy as jnp
 
@@ -59,17 +63,20 @@ def _loop_rate(matvec, x0, n_elems, *, k2=33, reps=2):
         return jax.lax.fori_loop(0, k, body, x)
 
     def timed(k):
+        best = None
         xs = x0 * np.float32(1 + next(_seed) * 1e-6)
-        t0 = time.perf_counter()
-        _ = float(loop(xs, k=k)[0])  # scalar readback = real sync
-        return time.perf_counter() - t0
+        _ = float(loop(xs, k=k)[0])  # compile + warm
+        for _r in range(reps):
+            xs = x0 * np.float32(1 + next(_seed) * 1e-6)
+            t0 = time.perf_counter()
+            _ = float(loop(xs, k=k)[0])  # scalar readback = real sync
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
-    _ = timed(1)
-    d1 = min(timed(1) for _ in range(reps))
-    _ = timed(k2)
-    d2 = min(timed(k2) for _ in range(reps))
-    per = (d2 - d1) / (k2 - 1)
-    return max(per, 1e-9)
+    d_lo = timed(k_lo)
+    d_hi = timed(k_hi)
+    return max((d_hi - d_lo) / (k_hi - k_lo), 1e-9)
 
 
 def bench_bsr_banded(on_tpu: bool):
@@ -102,7 +109,10 @@ def bench_bsr_banded(on_tpu: bool):
     x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
     nnz = nblocks * bs * bs
 
-    per = _loop_rate(lambda v: bsr @ v, x0, nnz, k2=33 if on_tpu else 3)
+    if on_tpu:
+        per = _loop_rate(lambda v: bsr @ v, x0, nnz)
+    else:
+        per = _loop_rate(lambda v: bsr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
     return nnz, per
 
 
@@ -127,8 +137,58 @@ def bench_csr_random(on_tpu: bool):
         jnp.asarray(values),
     )
     x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    per = _loop_rate(lambda v: csr @ v, x0, nnz, k2=9 if on_tpu else 3)
+    if on_tpu:
+        per = _loop_rate(lambda v: csr @ v, x0, nnz, k_lo=9, k_hi=33)
+    else:
+        per = _loop_rate(lambda v: csr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
     return nnz, per
+
+
+def bench_spgemm(on_tpu: bool):
+    """SpGEMM on a power-law graph matrix (BASELINE config[2]).
+
+    Times the numeric phase (plan cached): product terms per second."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spalinalg_tpu import CsrMatrix
+    from spalinalg_tpu.dtypes import INDEX_DTYPE
+    from spalinalg_tpu.ops.spgemm import spgemm_apply, spgemm_plan
+
+    n = 1 << 15 if on_tpu else 1 << 10
+    rng = np.random.default_rng(1)
+    # power-law out-degrees (Zipf), uniform targets
+    deg = np.minimum(rng.zipf(1.8, size=n), 512)
+    rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    nnz = int(rowptr[-1])
+    colind = rng.integers(0, n, size=nnz)
+    order = np.repeat(np.arange(n), deg)
+    srt = np.lexsort((colind, order))
+    colind = colind[srt]
+    values = rng.normal(size=nnz).astype(np.float32)
+    a = CsrMatrix._from_parts(
+        n, n,
+        jnp.asarray(rowptr, dtype=INDEX_DTYPE),
+        jnp.asarray(colind, dtype=INDEX_DTYPE),
+        jnp.asarray(values))
+    plan = spgemm_plan(a, a)
+    n_terms = int(plan.a_idx.shape[0])
+
+    def run(seed):
+        v = a.values * np.float32(1 + seed * 1e-6)
+        out = spgemm_apply(plan, v, a.values)
+        jax.block_until_ready(out)
+        return out
+
+    run(next(_seed))  # compile + warm (builds the device plans)
+    reps = 5 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run(next(_seed))
+    per = (time.perf_counter() - t0) / reps
+    return n_terms, per
 
 
 def _arm_watchdog(seconds: float) -> None:
@@ -172,18 +232,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    secondary = {}
     try:
         nnz_c, per_c = bench_csr_random(on_tpu)
         csr_rate = nnz_c / per_c
         csr_roof = hbm / 12.0
+        secondary["csr_random_spmv_nnz_per_s"] = round(csr_rate, 1)
+        secondary["csr_roofline_frac"] = round(csr_rate / csr_roof, 4)
         print(
             f"[bench] csr_random nnz={nnz_c} {per_c*1e3:.3f} ms/spmv -> "
             f"{csr_rate/1e9:.3f} Gnnz/s ({100*csr_rate/csr_roof:.1f}% of "
-            f"{csr_roof/1e9:.0f} Gnnz/s roofline; gather-bound on TPU)",
+            f"{csr_roof/1e9:.0f} Gnnz/s roofline)",
             file=sys.stderr,
         )
     except Exception as e:  # secondary must never kill the headline
         print(f"[bench] csr_random failed: {e}", file=sys.stderr)
+
+    try:
+        n_terms, per_g = bench_spgemm(on_tpu)
+        g_rate = n_terms / per_g
+        # numeric phase minimal traffic/term: two 4B value reads + routing
+        g_roof = hbm / 24.0
+        secondary["spgemm_powerlaw_terms_per_s"] = round(g_rate, 1)
+        secondary["spgemm_roofline_frac"] = round(g_rate / g_roof, 4)
+        print(
+            f"[bench] spgemm_powerlaw terms={n_terms} {per_g*1e3:.3f} ms -> "
+            f"{g_rate/1e9:.3f} Gterms/s ({100*g_rate/g_roof:.1f}% of "
+            f"{g_roof/1e9:.0f} Gterms/s roofline)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] spgemm failed: {e}", file=sys.stderr)
 
     target = 0.70 * bsr_roof
     print(json.dumps({
@@ -191,6 +270,8 @@ def main() -> None:
         "value": round(bsr_rate, 1),
         "unit": "nnz/s",
         "vs_baseline": round(bsr_rate / target, 4),
+        "tpu": os.environ.get("PALLAS_AXON_TPU_GEN", "v5e (default)"),
+        "secondary": secondary,
     }))
 
 

@@ -5,6 +5,15 @@ are the scalar generics (`scalar.rs:56-57`). The TPU build needs a small,
 explicit, jit-static config: dtypes, kernel selection, bucket boundaries,
 partitioning axis. It is a frozen (hashable) dataclass threaded explicitly —
 never read from the environment inside compute code.
+
+Examples
+--------
+>>> from spalinalg_tpu.config import Config, current_config, use
+>>> current_config().use_pallas
+True
+>>> with use(Config(use_pallas=False)) as cfg:
+...     print(current_config().use_pallas)
+False
 """
 
 from __future__ import annotations

@@ -142,33 +142,58 @@ def csc_to_coo(csc: CscMatrix) -> CooMatrix:
     )
 
 
+def _dok_from_unique(nrows, ncols, rows, cols, vals) -> DokMatrix:
+    """Bulk DOK build for unique keys: one dict() constructor call."""
+    out = DokMatrix(nrows, ncols, dtype=np.asarray(vals).dtype)
+    vv = np.asarray(vals, dtype=out._dtype)
+    t = out._dtype.type  # values stored as numpy scalars (insert parity)
+    out._map = {
+        (r, c): t(v)
+        for r, c, v in zip(np.asarray(rows).tolist(),
+                           np.asarray(cols).tolist(), vv.tolist())
+    }
+    return out
+
+
 def csr_to_dok(csr: CsrMatrix) -> DokMatrix:
     """CSR→DOK (`dok.rs:702-720`): keys unique by CSR invariant."""
     rows, cols, vals = csr._coo_arrays_host()
-    out = DokMatrix(csr.nrows, csr.ncols, dtype=vals.dtype)
-    for r, c, v in zip(rows, cols, vals):
-        out.insert(int(r), int(c), v)
-    return out
+    return _dok_from_unique(csr.nrows, csr.ncols, rows, cols, vals)
 
 
 def csc_to_dok(csc: CscMatrix) -> DokMatrix:
     """CSC→DOK (`dok.rs:676-700`)."""
     rows, cols, vals = csc._coo_arrays_host()
-    out = DokMatrix(csc.nrows, csc.ncols, dtype=vals.dtype)
-    for r, c, v in zip(rows, cols, vals):
-        out.insert(int(r), int(c), v)
-    return out
+    return _dok_from_unique(csc.nrows, csc.ncols, rows, cols, vals)
 
 
 def coo_to_dok(coo: CooMatrix) -> DokMatrix:
     """COO→DOK: duplicate triplets are **summed** (`dok.rs:640-668`,
-    the ``*map.entry((row, col)).or_default() += value`` merge)."""
+    the ``*map.entry((row, col)).or_default() += value`` merge).
+
+    Bulk path: duplicates are pre-merged with a vectorised lexsort +
+    ``np.add.reduceat`` before the single dict construction.
+    """
     out = DokMatrix(coo.nrows, coo.ncols, dtype=coo.dtype)
     rows, cols, vals = coo.to_arrays()
-    for r, c, v in zip(rows, cols, vals):
-        key = (int(r), int(c))
-        prev = out._map.get(key)
-        out._map[key] = out._dtype.type((0 if prev is None else prev) + v)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=out._dtype)
+    if rows.size == 0:
+        return out
+    order = np.lexsort((cols, rows))
+    rs, cs, vs = rows[order], cols[order], vals[order]
+    # segment starts where the (row, col) key changes
+    new = np.empty(rs.size, dtype=bool)
+    new[0] = True
+    np.not_equal(rs[1:], rs[:-1], out=new[1:])
+    np.logical_or(new[1:], cs[1:] != cs[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    summed = np.add.reduceat(vs, starts).astype(out._dtype, copy=False)
+    t = out._dtype.type
+    out._map = {k: t(v) for k, v in
+                zip(zip(rs[starts].tolist(), cs[starts].tolist()),
+                    summed.tolist())}
     return out
 
 

@@ -14,6 +14,24 @@ Layout:
 Matrix dims must be divisible by the block size (callers pad; see
 :meth:`from_csr` which zero-pads implicitly dropped fractional blocks is a
 hard error instead — explicit is better than silent padding).
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import BsrMatrix, CsrMatrix
+>>> csr = CsrMatrix(4, 4, [0, 2, 4, 6, 8],
+...                 [0, 1, 0, 1, 2, 3, 2, 3],
+...                 [1., 2., 3., 4., 5., 6., 7., 8.])
+>>> bsr = BsrMatrix.from_csr(csr, 2)
+>>> bsr.n_blocks
+2
+>>> bsr.blocksize
+(2, 2)
+>>> [float(v) for v in bsr @ np.ones(4)]
+[3.0, 7.0, 11.0, 15.0]
+>>> eye = BsrMatrix.eye(4, blocksize=2)
+>>> [float(v) for v in eye @ np.arange(4.0)]
+[0.0, 1.0, 2.0, 3.0]
 """
 
 from __future__ import annotations

@@ -293,9 +293,27 @@ class CooMatrix:
         self._len = 0
 
     def extend(self, entries: Iterable[Tuple[int, int, float]]) -> None:
-        """Append triplets from an iterable (``Extend`` impl, coo.rs:548-574)."""
-        for row, col, value in entries:
-            self.push(row, col, value)
+        """Append triplets from an iterable (``Extend`` impl, coo.rs:548-574).
+
+        Bulk path: the iterable is materialised and appended in one
+        vectorised step. Divergence from per-entry ``push``: on an
+        out-of-range index nothing is appended (all-or-nothing) instead
+        of stopping mid-stream.
+        """
+        if isinstance(entries, CooMatrix):
+            rows, cols, vals = entries.to_arrays()
+        else:
+            ent = list(entries)
+            if not ent:
+                return
+            arr = np.asarray(ent, dtype=object) if len(ent[0]) != 3 else None
+            if arr is not None:
+                raise ShapeError("extend expects (row, col, value) triplets")
+            rows = np.fromiter((e[0] for e in ent), dtype=np.int64, count=len(ent))
+            cols = np.fromiter((e[1] for e in ent), dtype=np.int64, count=len(ent))
+            vals = np.fromiter(
+                (e[2] for e in ent), dtype=self._dtype, count=len(ent))
+        self._bulk_append(rows, cols, vals.astype(self._dtype, copy=False))
 
     # ------------------------------------------------------------------
     # Iteration (coo.rs:491-536, 576-627)

@@ -5,6 +5,18 @@ frozen device image — three ``jax.Array`` leaves + static shape — used when
 triplets must flow through jit (conversion engine inputs, distributed
 scatter construction). Padding follows the engine convention: sentinel
 ``row == nrows``, zero values.
+
+Examples
+--------
+>>> from spalinalg_tpu import CooMatrix, DeviceCoo
+>>> coo = CooMatrix.with_entries(2, 2, [(0, 0, 1.0), (1, 1, 2.0),
+...                                     (0, 0, 3.0)])
+>>> dev = DeviceCoo.from_host(coo)
+>>> dev.nse
+3
+>>> csr = dev.to_csr_device()        # dedups: (0,0) -> 4.0
+>>> [float(v) for v in csr.values]   # static nse keeps a padding slot
+[4.0, 2.0, 0.0]
 """
 
 from __future__ import annotations

@@ -6,6 +6,18 @@ structured arrays on the host, restored to device on load. For multi-host
 runs each host writes its shard (`save` on a DistCsr writes the local
 blocks); recovery = restart + load (SPMD gang semantics, no elasticity —
 matching the reference's scope).
+
+Examples
+--------
+>>> import tempfile, os
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.io import save_npz, load_npz
+>>> csr = CsrMatrix.eye(3)
+>>> path = os.path.join(tempfile.mkdtemp(), "eye.npz")
+>>> save_npz(path, csr)
+>>> back = load_npz(path)
+>>> type(back).__name__, back.shape, back.nnz
+('CsrMatrix', (3, 3), 3)
 """
 
 from __future__ import annotations

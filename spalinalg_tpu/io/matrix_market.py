@@ -5,6 +5,18 @@ matrices with CPU tooling and for golden-vector tests).
 Supports the coordinate format with ``real``/``integer`` fields and
 ``general``/``symmetric``/``skew-symmetric`` symmetries. Writing emits
 ``general`` coordinate real.
+
+Examples
+--------
+>>> import tempfile, os
+>>> from spalinalg_tpu import CooMatrix
+>>> from spalinalg_tpu.io import read_matrix_market, write_matrix_market
+>>> coo = CooMatrix.with_entries(2, 3, [(0, 2, 1.5), (1, 0, -2.0)])
+>>> path = os.path.join(tempfile.mkdtemp(), "m.mtx")
+>>> write_matrix_market(path, coo)
+>>> back = read_matrix_market(path)
+>>> back.shape, sorted(back)
+((2, 3), [(0, 2, 1.5), (1, 0, -2.0)])
 """
 
 from __future__ import annotations
@@ -80,5 +92,11 @@ def write_matrix_market(path, mat: Union[CooMatrix, object]) -> None:
     with _open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{mat.nrows} {mat.ncols} {len(rows)}\n")
-        for r, c, v in zip(rows, cols, vals):
-            f.write(f"{r + 1} {c + 1} {float(v)!r}\n")
+        # bulk formatting: one C-level printf per line over pre-converted
+        # Python scalars, single join + write; %.17g round-trips float64
+        if len(rows):
+            r1 = (np.asarray(rows, dtype=np.int64) + 1).tolist()
+            c1 = (np.asarray(cols, dtype=np.int64) + 1).tolist()
+            v = np.asarray(vals, dtype=np.float64).tolist()
+            f.write("\n".join(map("%d %d %.17g".__mod__, zip(r1, c1, v))))
+            f.write("\n")

@@ -3,6 +3,17 @@ oracle = reference semantics re-derived via scipy.sparse").
 
 Gated: scipy is optional — importing this module works without it; calling
 the functions raises a clear error if scipy is absent.
+
+Examples
+--------
+>>> import scipy.sparse as sps
+>>> from spalinalg_tpu.io import from_scipy, to_scipy
+>>> s = sps.csr_matrix([[1.0, 0.0], [0.0, 2.0]])
+>>> m = from_scipy(s)
+>>> type(m).__name__, m.nnz
+('CsrMatrix', 2)
+>>> (to_scipy(m) != s).nnz       # round-trip: no differing entries
+0
 """
 
 from __future__ import annotations

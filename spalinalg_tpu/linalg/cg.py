@@ -6,6 +6,18 @@ Works on single-chip CSR/BSR matrices and on row-partitioned
 :class:`~spalinalg_tpu.parallel.partition.DistCsr` (SpMV via halo/all-gather
 collectives, dot products via ``psum``). The whole iteration runs inside one
 ``lax.while_loop`` — no host round-trips per step.
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.linalg import cg
+>>> A = CsrMatrix(2, 2, [0, 2, 4], [0, 1, 0, 1], [4.0, 1.0, 1.0, 3.0])
+>>> res = cg(A, np.array([1.0, 2.0]), tol=1e-10)
+>>> bool(res.residual < 1e-10)
+True
+>>> [round(float(v), 6) for v in res.x]
+[0.090909, 0.636364]
 """
 
 from __future__ import annotations

@@ -15,6 +15,26 @@ For stencil Laplacians (BASELINE config[3]) RCM yields the natural
 grid-width band and the panels are dense — exactly the structure the MXU
 wants. Matrices whose RCM band is a large fraction of n fall back to a
 dense Cholesky (they are effectively dense after fill-in anyway).
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.linalg import cholesky, cholesky_solve
+>>> # 1-D Laplacian (SPD tridiagonal)
+>>> n = 8
+>>> rows, cols, vals = [], [], []
+>>> for i in range(n):
+...     for j, v in (((i - 1), -1.0), (i, 2.0), ((i + 1), -1.0)):
+...         if 0 <= j < n:
+...             rows.append(i); cols.append(j); vals.append(v)
+>>> from spalinalg_tpu import CooMatrix, CsrMatrix
+>>> A = CsrMatrix.from_coo(CooMatrix.with_triplets(n, n, rows, cols, vals))
+>>> fac = cholesky(A)
+>>> b = np.ones(n)
+>>> x = cholesky_solve(fac, b)
+>>> bool(np.allclose(A.to_dense() @ np.asarray(x), b, atol=1e-8))
+True
 """
 
 from __future__ import annotations

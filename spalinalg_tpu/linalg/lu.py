@@ -6,6 +6,18 @@ RCM band is a large fraction of n, use the dense partial-pivoting fallback
 (``jax.scipy.linalg.lu_factor``) — correct for every input, with the banded
 MXU path covering the structured systems the framework targets
 (diagonally-dominant stencil operators, BASELINE config[3]).
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.linalg import lu, lu_solve
+>>> A = CsrMatrix(3, 3, [0, 2, 4, 6], [0, 1, 0, 1, 1, 2],
+...               [4.0, 1.0, 1.0, 3.0, 1.0, 2.0])
+>>> fac = lu(A)
+>>> x = lu_solve(fac, np.array([5.0, 4.0, 3.0]))
+>>> bool(np.allclose(A.to_dense() @ np.asarray(x), [5.0, 4.0, 3.0]))
+True
 """
 
 from __future__ import annotations

@@ -10,6 +10,17 @@ end — the same scatter-free discipline as `ops/reduction.py`.
 Deeply sequential structures (e.g. unordered band matrices whose level count
 approaches n) would unroll into enormous XLA graphs; those fall back to a
 host sweep, and the banded path (`banded.py`) is the right tool anyway.
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.linalg import solve_triangular_csr
+>>> L = CsrMatrix(3, 3, [0, 1, 3, 5], [0, 0, 1, 1, 2],
+...               [2.0, 1.0, 2.0, 1.0, 2.0])
+>>> x = solve_triangular_csr(L, np.array([2.0, 5.0, 6.0]), lower=True)
+>>> [round(float(v), 6) for v in x]
+[1.0, 2.0, 2.0]
 """
 
 from __future__ import annotations

@@ -21,6 +21,17 @@ Eager (concrete) operands take the exact host path — output ``nse`` equals
 the true union nnz, matching reference capacity exactness. Traced operands
 take the static-shape device path with ``nse = nse_a + nse_b`` and sentinel
 padding.
+
+Examples
+--------
+>>> from spalinalg_tpu import CsrMatrix
+>>> a = CsrMatrix.eye(2)
+>>> b = CsrMatrix(2, 2, [0, 1, 2], [1, 0], [5.0, -6.0])
+>>> s = a + b
+>>> s.nnz                          # structural union
+4
+>>> [float(v) for v in (a - a).values]   # cancelled zeros are KEPT
+[0.0, 0.0]
 """
 
 from __future__ import annotations

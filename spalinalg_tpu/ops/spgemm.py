@@ -24,6 +24,16 @@ supernodal plan in SURVEY.md §7 phase 5):
 
 Repeated products with the same structures (iterative algorithms, graph
 powers) reuse the cached plan and pay only the numeric phase.
+
+Examples
+--------
+>>> from spalinalg_tpu import CsrMatrix
+>>> a = CsrMatrix(2, 2, [0, 2, 3], [0, 1, 1], [1.0, 2.0, 3.0])
+>>> c = a * a                      # operator* is SpGEMM (csr/ops/mul.rs)
+>>> c.shape, c.nnz
+((2, 2), 3)
+>>> [float(v) for v in c.values]   # [[1,8],[0,9]]
+[1.0, 8.0, 9.0]
 """
 
 from __future__ import annotations

@@ -19,6 +19,21 @@ Communication strategy is chosen per structure at partition time (host):
 - ``"halo"``: banded structures touch only neighbouring shards' entries;
   shards exchange fixed-width halo slabs with ``ppermute`` (left+right),
   overlapping with local compute (XLA async collectives).
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.parallel import (make_row_mesh, partition_csr,
+...                                     shard_vector, dist_spmv,
+...                                     unshard_vector)
+>>> A = CsrMatrix.eye(8)
+>>> mesh = make_row_mesh()                       # all local devices
+>>> dist = partition_csr(A, mesh)
+>>> x = shard_vector(np.arange(8.0), dist)
+>>> y = unshard_vector(dist_spmv(dist, x), dist)
+>>> [float(v) for v in y]
+[0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
 """
 
 from __future__ import annotations

@@ -4,6 +4,17 @@ Per-op structured metrics — nnz, flops, bytes moved, achieved GB/s and
 roofline fraction — via a lightweight host-side recorder with optional
 JSON-lines output. The reference has no logging at all (no log crate); this
 is the TPU build's replacement, feeding the bench harness (N8).
+
+Examples
+--------
+>>> import numpy as np
+>>> from spalinalg_tpu import CsrMatrix
+>>> from spalinalg_tpu.utils import metrics
+>>> rec = metrics.enable()           # global recorder; ops feed it
+>>> _ = CsrMatrix.eye(4) @ np.ones(4)
+>>> rec.records[-1].op, rec.records[-1].nnz
+('csr_spmv', 4)
+>>> metrics.disable()
 """
 
 from __future__ import annotations

@@ -155,3 +155,32 @@ class TestOps:
     def test_to_dense_sums_duplicates(self):
         a = CooMatrix.with_entries(2, 2, [(0, 0, 1.0), (0, 0, 2.0)])
         np.testing.assert_array_equal(a.to_dense(), [[3.0, 0.0], [0.0, 0.0]])
+
+
+class TestBulkPaths:
+    """VERDICT r1 item 9: bulk host paths must handle 1M entries fast."""
+
+    def test_extend_1m_under_1s(self):
+        import time
+        n = 1_000_000
+        rows = np.random.default_rng(0).integers(0, 1000, size=n)
+        cols = np.random.default_rng(1).integers(0, 1000, size=n)
+        vals = np.random.default_rng(2).normal(size=n)
+        m = CooMatrix(1000, 1000)
+        t0 = time.perf_counter()
+        m.extend(zip(rows.tolist(), cols.tolist(), vals.tolist()))
+        dt = time.perf_counter() - t0
+        assert m.length == n
+        assert dt < 1.0, f"1M extend took {dt:.2f}s"
+
+    def test_extend_from_coo_bulk(self):
+        src = CooMatrix.with_entries(2, 3, [(0, 0, 1.0), (1, 2, 5.0)])
+        m = CooMatrix(2, 3)
+        m.extend(src)
+        assert list(m) == [(0, 0, 1.0), (1, 2, 5.0)]
+
+    def test_extend_out_of_range_appends_nothing(self):
+        m = CooMatrix(2, 2)
+        with pytest.raises(IndexError_):
+            m.extend([(0, 0, 1.0), (5, 0, 2.0)])
+        assert m.length == 0  # all-or-nothing (documented divergence)

@@ -1,21 +1,36 @@
 """Run the docstring examples — the reference's doctest surface (~75
 rustdoc examples run by ``cargo test --doc``, `x.sh:8`). These double as
-API-regression tests."""
+API-regression tests. Every public module with a user-facing API carries
+examples (VERDICT r1 item 8)."""
 
 import doctest
+import importlib
 
 import pytest
 
-import spalinalg_tpu
-import spalinalg_tpu.formats.coo
-import spalinalg_tpu.formats.dok
-import spalinalg_tpu.formats.compressed
-
-MODULES = [
-    spalinalg_tpu.formats.coo,
-    spalinalg_tpu.formats.dok,
-    spalinalg_tpu.formats.compressed,
+# importlib (not attribute access): `spalinalg_tpu.linalg.cg` the *module*
+# is shadowed by the re-exported `cg` *function* in linalg/__init__.py.
+MODULE_NAMES = [
+    "spalinalg_tpu.config",
+    "spalinalg_tpu.formats.bsr",
+    "spalinalg_tpu.formats.compressed",
+    "spalinalg_tpu.formats.coo",
+    "spalinalg_tpu.formats.device",
+    "spalinalg_tpu.formats.dok",
+    "spalinalg_tpu.io.checkpoint",
+    "spalinalg_tpu.io.matrix_market",
+    "spalinalg_tpu.io.scipy_interop",
+    "spalinalg_tpu.linalg.cg",
+    "spalinalg_tpu.linalg.cholesky",
+    "spalinalg_tpu.linalg.lu",
+    "spalinalg_tpu.linalg.triangular",
+    "spalinalg_tpu.ops.elementwise",
+    "spalinalg_tpu.ops.spgemm",
+    "spalinalg_tpu.parallel.partition",
+    "spalinalg_tpu.utils.metrics",
 ]
+
+MODULES = [importlib.import_module(n) for n in MODULE_NAMES]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)

