@@ -4,6 +4,15 @@ from .cg import CgResult, cg
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
 from .ordering import bandwidth, level_schedule, rcm_ordering
+from .qr import (
+    QrFactor,
+    lstsq,
+    qr,
+    qr_q_apply,
+    qr_qt_apply,
+    qr_r_dense,
+    qr_solve,
+)
 from .triangular import TriangularPlan, plan_triangular, solve_triangular_csr
 from .banded import (
     BandCholeskyFactor,
@@ -18,6 +27,8 @@ __all__ = [
     "cg", "CgResult",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
     "lu", "lu_solve", "LuFactor",
+    "qr", "qr_solve", "qr_q_apply", "qr_qt_apply", "qr_r_dense",
+    "lstsq", "QrFactor",
     "rcm_ordering", "bandwidth", "level_schedule",
     "solve_triangular_csr", "plan_triangular", "TriangularPlan",
     "band_cholesky_factor", "band_cholesky_solve", "BandCholeskyFactor",

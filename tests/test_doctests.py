@@ -23,6 +23,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.cg",
     "spalinalg_tpu.linalg.cholesky",
     "spalinalg_tpu.linalg.lu",
+    "spalinalg_tpu.linalg.qr",
     "spalinalg_tpu.linalg.triangular",
     "spalinalg_tpu.ops.elementwise",
     "spalinalg_tpu.ops.spgemm",
