@@ -3,6 +3,7 @@
 from .cg import CgResult, cg
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
+from .iterative import IterResult, bicgstab, gmres
 from .ordering import bandwidth, level_schedule, rcm_ordering
 from .qr import (
     QrFactor,
@@ -24,7 +25,7 @@ from .banded import (
 )
 
 __all__ = [
-    "cg", "CgResult",
+    "cg", "CgResult", "gmres", "bicgstab", "IterResult",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
     "lu", "lu_solve", "LuFactor",
     "qr", "qr_solve", "qr_q_apply", "qr_qt_apply", "qr_r_dense",

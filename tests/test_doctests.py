@@ -21,6 +21,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.io.matrix_market",
     "spalinalg_tpu.io.scipy_interop",
     "spalinalg_tpu.linalg.cg",
+    "spalinalg_tpu.linalg.iterative",
     "spalinalg_tpu.linalg.cholesky",
     "spalinalg_tpu.linalg.lu",
     "spalinalg_tpu.linalg.qr",
