@@ -268,6 +268,12 @@ class BsrMatrix:
             self._indptr, self._indices, data,
         )
 
+    def astype(self, dtype) -> "BsrMatrix":
+        """Cast block storage (e.g. ``jnp.bfloat16`` to halve HBM value
+        traffic — the streaming kernel accumulates in f32 regardless, so
+        SpMV keeps f32-grade output up to the bf16 rounding of A)."""
+        return self.with_data(self._data.astype(dtype))
+
     def __neg__(self) -> "BsrMatrix":
         return self.with_data(-self._data)
 

@@ -54,7 +54,9 @@ def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
         def body():
             row = row_ref[idx]
             col = col_ref[idx]
-            xb = x_ref[col]
+            # cast x to the block dtype (bf16 storage -> bf16 x bf16 MXU
+            # pass with f32 accumulation via preferred_element_type)
+            xb = x_ref[col].astype(blk_ref.dtype)
             prod = jnp.dot(
                 blk_ref[i], xb, preferred_element_type=jnp.float32
             )
@@ -149,8 +151,8 @@ def _kernel_v2(row_ref, col_ref, blk_ref, x_ref, y_ref, *, K):
     k = pl.program_id(0)
     row = row_ref[k]
     col = col_ref[k]
-    xb = x_ref[col]
     blk = blk_ref[0]
+    xb = x_ref[col].astype(blk.dtype)
     prod = (
         jax.lax.dot_general(
             blk, xb, dimension_numbers=(((1,), (0,)), ((), ())),
