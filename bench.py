@@ -116,6 +116,43 @@ def bench_bsr_banded(on_tpu: bool):
     return nnz, per
 
 
+def bench_bsr_banded_bf16(on_tpu: bool):
+    """bf16 block storage, f32 accumulation — halves HBM value traffic."""
+    import jax.numpy as jnp
+
+    from spalinalg_tpu import BsrMatrix
+    from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+    bs = 128
+    nbr = 512 if on_tpu else 8
+    n = nbr * bs
+    rng = np.random.default_rng(0)
+
+    indptr = [0]
+    indices = []
+    for i in range(nbr):
+        cols = [j for j in (i - 1, i, i + 1) if 0 <= j < nbr]
+        indices.extend(cols)
+        indptr.append(len(indices))
+    nblocks = len(indices)
+    data = rng.normal(size=(nblocks, bs, bs)).astype(np.float32)
+
+    bsr = BsrMatrix._from_parts(
+        n, n, bs, bs,
+        jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
+        jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE),
+        jnp.asarray(data),
+    ).astype(jnp.bfloat16)
+    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    nnz = nblocks * bs * bs
+
+    if on_tpu:
+        per = _loop_rate(lambda v: bsr @ v, x0, nnz)
+    else:
+        per = _loop_rate(lambda v: bsr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
+    return nnz, per
+
+
 def bench_csr_random(on_tpu: bool):
     """Unstructured CSR SpMV via the bucketed-gather plan (secondary)."""
     import jax.numpy as jnp
@@ -233,6 +270,21 @@ def main() -> None:
     )
 
     secondary = {}
+    try:
+        nnz_h, per_h = bench_bsr_banded_bf16(on_tpu)
+        bf16_rate = nnz_h / per_h
+        bf16_roof = hbm / 2.0      # 2 B/nnz minimal traffic in bf16
+        secondary["bsr_banded_spmv_bf16_nnz_per_s"] = round(bf16_rate, 1)
+        secondary["bsr_bf16_roofline_frac"] = round(bf16_rate / bf16_roof, 4)
+        print(
+            f"[bench] bsr_banded_bf16 nnz={nnz_h} {per_h*1e3:.3f} ms/spmv -> "
+            f"{bf16_rate/1e9:.2f} Gnnz/s ({100*bf16_rate/bf16_roof:.1f}% of "
+            f"{bf16_roof/1e9:.0f} Gnnz/s bf16 roofline)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] bsr_bf16 failed: {e}", file=sys.stderr)
+
     try:
         nnz_c, per_c = bench_csr_random(on_tpu)
         csr_rate = nnz_c / per_c
