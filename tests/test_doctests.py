@@ -23,6 +23,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.cg",
     "spalinalg_tpu.linalg.iterative",
     "spalinalg_tpu.linalg.cholesky",
+    "spalinalg_tpu.linalg.eigen",
     "spalinalg_tpu.linalg.lu",
     "spalinalg_tpu.linalg.qr",
     "spalinalg_tpu.linalg.triangular",

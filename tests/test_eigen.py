@@ -1,0 +1,90 @@
+"""Lanczos eigsh / svds (`linalg/eigen.py`). Oracle: dense numpy."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spalinalg_tpu import BsrMatrix, CooMatrix, CsrMatrix
+from spalinalg_tpu.errors import ShapeError
+from spalinalg_tpu.linalg import eigsh, lanczos, svds
+
+
+def _sym(rng, n, density=0.1, shift=0.0):
+    d = np.where(rng.random((n, n)) < density, rng.normal(size=(n, n)), 0)
+    d = (d + d.T) / 2 + shift * np.eye(n)
+    d = d.astype(np.float64)
+    rows, cols = np.nonzero(d)
+    coo = CooMatrix.with_triplets(n, n, rows.tolist(), cols.tolist(),
+                                  d[rows, cols].tolist())
+    return CsrMatrix.from_coo(coo), d
+
+
+def test_lanczos_orthonormal_basis(rng):
+    A, d = _sym(rng, 64)
+    alpha, beta, V = lanczos(A, 20)
+    Vn = np.asarray(V)
+    np.testing.assert_allclose(Vn @ Vn.T, np.eye(20), atol=1e-8)
+    # three-term recurrence reproduces A on the Krylov space: V A Vᵀ = T
+    T = Vn @ d @ Vn.T
+    np.testing.assert_allclose(np.diag(T), np.asarray(alpha), atol=1e-8)
+    np.testing.assert_allclose(np.diag(T, 1), np.asarray(beta), atol=1e-8)
+
+
+@pytest.mark.parametrize("which", ["LA", "SA"])
+def test_eigsh_extremal(rng, which):
+    A, d = _sym(rng, 96)
+    w, v = eigsh(A, k=4, which=which, m=60)
+    ew = np.linalg.eigvalsh(d)
+    ref = ew[-4:] if which == "LA" else ew[:4]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-7)
+    # residual check: ||A v - w v|| small
+    for j in range(4):
+        vv = np.asarray(v[:, j])
+        assert np.linalg.norm(d @ vv - float(w[j]) * vv) < 1e-6
+
+
+def test_eigsh_spd_smallest(rng):
+    A, d = _sym(rng, 64, shift=8.0)
+    w, v = eigsh(A, k=2, which="SA", m=64)
+    ref = np.linalg.eigvalsh(d)[:2]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-7)
+
+
+def test_eigsh_bsr_operand(rng):
+    A, d = _sym(rng, 64)
+    bsr = A.to_bsr(8)
+    w, _ = eigsh(bsr, k=3, which="LA", m=48)
+    np.testing.assert_allclose(
+        np.asarray(w), np.linalg.eigvalsh(d)[-3:], atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(80, 40), (40, 80)])
+def test_svds_matches_numpy(rng, shape):
+    m, n = shape
+    d = np.where(rng.random((m, n)) < 0.2, rng.normal(size=(m, n)), 0)
+    rows, cols = np.nonzero(d)
+    A = CsrMatrix.from_coo(CooMatrix.with_triplets(
+        m, n, rows.tolist(), cols.tolist(), d[rows, cols].tolist()))
+    u, s, vt = svds(A, k=3, m=60)
+    ref = np.linalg.svd(d, compute_uv=False)[:3]
+    np.testing.assert_allclose(np.asarray(s), ref, atol=1e-6)
+    # triplet consistency: A v = s u
+    for j in range(3):
+        lhs = d @ np.asarray(vt)[j]
+        rhs = float(s[j]) * np.asarray(u)[:, j]
+        np.testing.assert_allclose(lhs, rhs, atol=1e-6)
+
+
+def test_validation(rng):
+    A, _ = _sym(rng, 16)
+    with pytest.raises(ValueError):
+        eigsh(A, k=0)
+    with pytest.raises(ValueError):
+        eigsh(A, k=16)
+    with pytest.raises(ValueError):
+        eigsh(A, k=2, which="LM")
+    wide = CsrMatrix.from_coo(CooMatrix.with_entries(
+        2, 5, [(0, 0, 1.0), (1, 4, 2.0)]))
+    with pytest.raises(ShapeError):
+        eigsh(wide, k=1)
