@@ -5,6 +5,7 @@ from .eigen import eigsh, lanczos, svds
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
 from .iterative import IterResult, bicgstab, gmres
+from .precond import Ilu0Precond, ic0, ilu0
 from .ordering import bandwidth, level_schedule, rcm_ordering
 from .qr import (
     QrFactor,
@@ -28,6 +29,7 @@ from .banded import (
 __all__ = [
     "cg", "CgResult", "gmres", "bicgstab", "IterResult",
     "eigsh", "svds", "lanczos",
+    "ilu0", "ic0", "Ilu0Precond",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
     "lu", "lu_solve", "LuFactor",
     "qr", "qr_solve", "qr_q_apply", "qr_qt_apply", "qr_r_dense",

@@ -92,9 +92,13 @@ def cg(
     *,
     tol: float = 1e-10,
     maxiter: Optional[int] = None,
-    precondition: Optional[str] = None,
+    precondition=None,
 ) -> CgResult:
     """Solve SPD ``A x = b`` by (optionally preconditioned) CG.
+
+    ``precondition``: ``"jacobi"``, a callable ``r -> M⁻¹r``, or a
+    preconditioner object with a ``.solve`` method (e.g.
+    :func:`~spalinalg_tpu.linalg.ic0`).
 
     ``A`` may be a ``CsrMatrix``/``BsrMatrix`` (single chip) or a
     ``DistCsr`` (``b`` then must be a row-sharded padded vector from
@@ -117,6 +121,14 @@ def cg(
             return dist_dot(u, v, A)
 
         precond = None
+        if precondition is not None and precondition != "jacobi":
+            # incomplete-factorization objects hold single-chip plans;
+            # only sharding-aware callables are usable here
+            if hasattr(precondition, "solve"):
+                raise ValueError(
+                    "factorization preconditioners are single-chip; pass a "
+                    "sharding-aware callable for DistCsr operands")
+            precond = precondition
         if precondition == "jacobi":
             import numpy as np
 
@@ -150,5 +162,16 @@ def cg(
     def dot(u, v):
         return jnp.vdot(u, v)
 
-    precond = _jacobi_precond(A) if precondition == "jacobi" else None
+    if precondition == "jacobi":
+        precond = _jacobi_precond(A)
+    elif precondition is None:
+        precond = None
+    elif hasattr(precondition, "solve"):
+        precond = precondition.solve
+    elif callable(precondition):
+        precond = precondition
+    else:
+        raise ValueError(
+            f"precondition must be 'jacobi', a callable or a "
+            f"preconditioner object, got {precondition!r}")
     return _cg_loop(matvec, dot, b, x0, tol, maxiter, precond)

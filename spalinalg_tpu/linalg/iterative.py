@@ -68,6 +68,24 @@ def _operator(A, b, x0, maxiter_default):
     return matvec, dot, x0, A.ncols
 
 
+def _resolve_precond(M, A):
+    """``M`` -> callable ``r -> M⁻¹r`` (identity when None)."""
+    from ..parallel.partition import DistCsr
+
+    if M is None:
+        return None
+    if hasattr(M, "solve"):
+        if isinstance(A, DistCsr):
+            raise ValueError(
+                "factorization preconditioners are single-chip; pass a "
+                "sharding-aware callable for DistCsr operands")
+        return M.solve
+    if callable(M):
+        return M
+    raise ValueError(f"M must be a callable or preconditioner object, "
+                     f"got {M!r}")
+
+
 def gmres(
     A,
     b,
@@ -76,14 +94,23 @@ def gmres(
     tol: float = 1e-8,
     restart: int = 32,
     maxiter: Optional[int] = None,
+    M=None,
 ) -> IterResult:
     """Restarted GMRES(m) for a general square system ``A x = b``.
 
     ``restart`` is the Krylov cycle length m (basis memory = ``(m+1)·n``);
     ``maxiter`` bounds the total matvec count (default ``10·n``).
+    ``M`` right-preconditions (``A M⁻¹ u = b``, ``x = M⁻¹u`` — the
+    reported residual stays the TRUE residual): a callable ``r -> M⁻¹r``
+    or an object with ``.solve`` (:func:`~spalinalg_tpu.linalg.ilu0`).
     """
     b = jnp.asarray(b)
     matvec, dot, x, n = _operator(A, b, x0, None)
+    psolve = _resolve_precond(M, A)
+    if psolve is not None:
+        inner_matvec = lambda v: matvec(psolve(v))    # noqa: E731
+    else:
+        inner_matvec = matvec
     maxiter = maxiter if maxiter is not None else 10 * n
     m = max(1, min(int(restart), maxiter))
     dtype = b.dtype
@@ -100,7 +127,7 @@ def gmres(
 
         def arnoldi(i, carry):
             V, H = carry
-            w = matvec(V[i])
+            w = inner_matvec(V[i])
             # rows > i of V are zero -> plain full-basis products suffice
             if V.ndim == 2:
                 h = jnp.einsum("kn,n->k", V, w)
@@ -125,8 +152,10 @@ def gmres(
         # min_y || beta e1 - H y ||  (m+1 x m, dense, on device)
         e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
         y = jnp.linalg.lstsq(H, e1)[0]
-        x_new = x + jnp.einsum("k,k...->...", y, V[:m])
-        return x_new
+        corr = jnp.einsum("k,k...->...", y, V[:m])
+        if psolve is not None:
+            corr = psolve(corr)           # right precond: x += M⁻¹ V y
+        return x + corr
 
     def cond(state):
         x, res, it = state
@@ -151,10 +180,15 @@ def bicgstab(
     *,
     tol: float = 1e-8,
     maxiter: Optional[int] = None,
+    M=None,
 ) -> IterResult:
-    """BiCGSTAB for a general square system (two SpMVs per iteration)."""
+    """BiCGSTAB for a general square system (two SpMVs per iteration).
+
+    ``M`` right-preconditions (the reported residual stays the true
+    residual): a callable or a ``.solve`` object (:func:`ilu0`)."""
     b = jnp.asarray(b)
     matvec, dot, x, n = _operator(A, b, x0, None)
+    psolve = _resolve_precond(M, A) or (lambda r: r)
     maxiter = maxiter if maxiter is not None else 10 * n
     dtype = b.dtype
     bnorm = jnp.sqrt(jnp.real(dot(b, b)))
@@ -174,14 +208,16 @@ def bicgstab(
         beta = (rho_new / jnp.where(jnp.abs(rho) > 0, rho, eps)) * (
             alpha / jnp.where(jnp.abs(omega) > 0, omega, eps))
         p = r + beta * (p - omega * v)
-        v = matvec(p)
+        phat = psolve(p)
+        v = matvec(phat)
         denom = dot(rhat, v)
         alpha = rho_new / jnp.where(jnp.abs(denom) > 0, denom, eps)
         s = r - alpha * v
-        t = matvec(s)
+        shat = psolve(s)
+        t = matvec(shat)
         tt = dot(t, t)
         omega = dot(t, s) / jnp.where(jnp.abs(tt) > 0, tt, eps)
-        x = x + alpha * p + omega * s
+        x = x + alpha * phat + omega * shat
         r = s - omega * t
         res = jnp.sqrt(jnp.real(dot(r, r)))
         return x, r, p, v, rho_new, alpha, omega, it + 2, res

@@ -25,6 +25,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.cholesky",
     "spalinalg_tpu.linalg.eigen",
     "spalinalg_tpu.linalg.lu",
+    "spalinalg_tpu.linalg.precond",
     "spalinalg_tpu.linalg.qr",
     "spalinalg_tpu.linalg.triangular",
     "spalinalg_tpu.ops.elementwise",
