@@ -167,7 +167,10 @@ class DokMatrix:
 
     @property
     def capacity(self) -> int:
-        """Python dicts size themselves; report current length (dok.rs:367-391)."""
+        """Documented divergence from `dok.rs:367-391`: the reference
+        reports the HashMap's real allocated capacity (>= len); Python
+        dicts hide theirs, so this returns the current length. Only the
+        `capacity >= nnz` contract is preserved."""
         return len(self._map)
 
     def _check_key(self, row: int, col: int) -> None:

@@ -1,6 +1,7 @@
 """Factorization + solver tier (north-star N5 and the iterative consumers)."""
 
 from .cg import CgResult, cg
+from .funm import arnoldi, expm_multiply
 from .eigen import eigsh, lanczos, svds
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
@@ -30,6 +31,7 @@ __all__ = [
     "cg", "CgResult", "gmres", "bicgstab", "IterResult",
     "eigsh", "svds", "lanczos",
     "ilu0", "ic0", "Ilu0Precond",
+    "expm_multiply", "arnoldi",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
     "lu", "lu_solve", "LuFactor",
     "qr", "qr_solve", "qr_q_apply", "qr_qt_apply", "qr_r_dense",

@@ -18,12 +18,14 @@ MODULE_NAMES = [
     "spalinalg_tpu.formats.device",
     "spalinalg_tpu.formats.dok",
     "spalinalg_tpu.io.checkpoint",
+    "spalinalg_tpu.io.jax_interop",
     "spalinalg_tpu.io.matrix_market",
     "spalinalg_tpu.io.scipy_interop",
     "spalinalg_tpu.linalg.cg",
     "spalinalg_tpu.linalg.iterative",
     "spalinalg_tpu.linalg.cholesky",
     "spalinalg_tpu.linalg.eigen",
+    "spalinalg_tpu.linalg.funm",
     "spalinalg_tpu.linalg.lu",
     "spalinalg_tpu.linalg.precond",
     "spalinalg_tpu.linalg.qr",
