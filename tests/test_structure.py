@@ -1,0 +1,90 @@
+"""Structural composition ops (`ops/structure.py`). Oracle: scipy.sparse."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from spalinalg_tpu import (
+    CooMatrix,
+    CsrMatrix,
+    bmat,
+    block_diag,
+    hstack,
+    kron,
+    vstack,
+)
+from spalinalg_tpu.errors import ShapeError
+from spalinalg_tpu.io import from_scipy, to_scipy
+
+
+def _rand(rng, n, m, density=0.3):
+    d = np.where(rng.random((n, m)) < density, rng.normal(size=(n, m)), 0)
+    return from_scipy(sps.csr_matrix(d)), sps.csr_matrix(d)
+
+
+@pytest.mark.parametrize("shapes", [((3, 4), (2, 5)), ((1, 1), (4, 3))])
+def test_kron_matches_scipy(rng, shapes):
+    (am, an), (bm, bn) = shapes
+    a, sa = _rand(rng, am, an)
+    b, sb = _rand(rng, bm, bn)
+    k = kron(a, b)
+    ref = sps.kron(sa, sb).toarray()
+    np.testing.assert_allclose(np.asarray(k.to_dense()), ref, atol=1e-12)
+
+
+def test_kron_coo_duplicates(rng):
+    a = CooMatrix.with_entries(2, 2, [(0, 0, 1.0), (0, 0, 2.0)])
+    b = CsrMatrix.eye(2)
+    k = kron(a, b)
+    assert float(np.asarray(k.to_dense())[0, 0]) == 3.0
+
+
+def test_vstack_hstack_match_scipy(rng):
+    a, sa = _rand(rng, 3, 4)
+    b, sb = _rand(rng, 2, 4)
+    np.testing.assert_allclose(
+        np.asarray(vstack([a, b]).to_dense()),
+        sps.vstack([sa, sb]).toarray(), atol=1e-12)
+    c, sc = _rand(rng, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(hstack([a, c]).to_dense()),
+        sps.hstack([sa, sc]).toarray(), atol=1e-12)
+
+
+def test_block_diag_matches_scipy(rng):
+    a, sa = _rand(rng, 3, 4)
+    b, sb = _rand(rng, 2, 2)
+    np.testing.assert_allclose(
+        np.asarray(block_diag([a, b]).to_dense()),
+        sps.block_diag([sa, sb]).toarray(), atol=1e-12)
+
+
+def test_bmat_with_none(rng):
+    a, sa = _rand(rng, 3, 4)
+    b, sb = _rand(rng, 3, 2)
+    c, sc = _rand(rng, 2, 4)
+    got = bmat([[a, b], [c, None]])
+    ref = sps.bmat([[sa, sb], [sc, None]]).toarray()
+    np.testing.assert_allclose(np.asarray(got.to_dense()), ref, atol=1e-12)
+
+
+def test_mixed_formats(rng):
+    a, sa = _rand(rng, 4, 4)
+    got = vstack([a, a.to_csc(), a.to_coo(), a.to_dok(), a.to_bsr(2)])
+    ref = sps.vstack([sa] * 5).toarray()
+    np.testing.assert_allclose(np.asarray(got.to_dense()), ref, atol=1e-12)
+
+
+def test_validation(rng):
+    a, _ = _rand(rng, 3, 4)
+    b, _ = _rand(rng, 3, 5)
+    with pytest.raises(ShapeError):
+        vstack([a, b])
+    with pytest.raises(ShapeError):
+        hstack([a, _rand(rng, 2, 4)[0]])
+    with pytest.raises(ShapeError):
+        vstack([])
+    with pytest.raises(ShapeError):
+        bmat([[None, None]])
+    with pytest.raises(ShapeError):
+        bmat([[a, a], [a, b]])   # width mismatch in column 1
