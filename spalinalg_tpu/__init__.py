@@ -42,6 +42,7 @@ from .formats.device import DeviceCoo  # noqa: E402
 from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: E402
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
 from .ops.structure import bmat, block_diag, hstack, kron, vstack  # noqa: E402
+from .ops.construct import diags, sprandom  # noqa: E402
 from . import linalg  # noqa: E402
 from . import io  # noqa: E402
 from . import utils  # noqa: E402
@@ -50,6 +51,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "kron", "hstack", "vstack", "block_diag", "bmat",
+    "diags", "sprandom",
     "CooMatrix",
     "DokMatrix",
     "CsrMatrix",

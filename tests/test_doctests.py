@@ -32,6 +32,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.triangular",
     "spalinalg_tpu.ops.elementwise",
     "spalinalg_tpu.ops.spgemm",
+    "spalinalg_tpu.ops.construct",
     "spalinalg_tpu.ops.structure",
     "spalinalg_tpu.parallel.partition",
     "spalinalg_tpu.utils.metrics",

@@ -88,3 +88,64 @@ def test_validation(rng):
         bmat([[None, None]])
     with pytest.raises(ShapeError):
         bmat([[a, a], [a, b]])   # width mismatch in column 1
+
+
+class TestConstruct:
+    def test_diags_matches_scipy(self, rng):
+        from spalinalg_tpu import diags
+
+        dvals = [rng.normal(size=5), rng.normal(size=6), rng.normal(size=4)]
+        got = diags(dvals, offsets=[-1, 0, 2], shape=(6, 6))
+        ref = sps.diags(dvals, offsets=[-1, 0, 2], shape=(6, 6)).toarray()
+        np.testing.assert_allclose(np.asarray(got.to_dense()), ref,
+                                   atol=1e-12)
+
+    def test_diags_scalar_broadcast(self):
+        from spalinalg_tpu import diags
+
+        got = diags([-1.0, 2.0, -1.0], offsets=[-1, 0, 1], shape=(5, 5))
+        ref = sps.diags([-1.0, 2.0, -1.0], offsets=[-1, 0, 1],
+                        shape=(5, 5)).toarray()
+        np.testing.assert_allclose(np.asarray(got.to_dense()), ref,
+                                   atol=1e-12)
+
+    def test_diags_rectangular(self):
+        from spalinalg_tpu import diags
+
+        got = diags([1.0, 2.0], offsets=[0, 1], shape=(3, 5))
+        ref = sps.diags([1.0, 2.0], offsets=[0, 1], shape=(3, 5)).toarray()
+        np.testing.assert_allclose(np.asarray(got.to_dense()), ref,
+                                   atol=1e-12)
+
+    def test_diags_single(self):
+        from spalinalg_tpu import diags
+
+        got = diags(np.array([1.0, 2.0, 3.0]))
+        assert got.shape == (3, 3)
+        np.testing.assert_allclose(np.asarray(got.to_dense()),
+                                   np.diag([1.0, 2.0, 3.0]), atol=1e-12)
+
+    def test_sprandom(self):
+        from spalinalg_tpu import sprandom
+
+        r = sprandom(50, 60, density=0.1, seed=3)
+        assert r.shape == (50, 60)
+        assert r.nnz == round(0.1 * 50 * 60)
+        # distinct positions
+        d = np.asarray(r.to_dense())
+        assert np.count_nonzero(d) == r.nnz
+
+    def test_construct_validation(self):
+        from spalinalg_tpu import diags, sprandom
+        from spalinalg_tpu.errors import ShapeError
+
+        with pytest.raises(ShapeError):
+            diags([1.0], offsets=[9], shape=(3, 3))
+        with pytest.raises(ShapeError):
+            diags([[1.0], [2.0]], offsets=[0])
+        with pytest.raises(ShapeError):
+            sprandom(0, 4)
+        with pytest.raises(ShapeError):
+            sprandom(4, 4, density=1.5)
+        with pytest.raises(ValueError):
+            sprandom(4, 4, density=0.5, values="cauchy")
