@@ -6,7 +6,7 @@ from .eigen import eigsh, lanczos, svds
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
 from .iterative import IterResult, bicgstab, gmres
-from .precond import Ilu0Precond, ic0, ilu0
+from .precond import ChebyshevPrecond, Ilu0Precond, chebyshev, ic0, ilu0
 from .ordering import bandwidth, level_schedule, rcm_ordering
 from .qr import (
     QrFactor,
@@ -30,7 +30,7 @@ from .banded import (
 __all__ = [
     "cg", "CgResult", "gmres", "bicgstab", "IterResult",
     "eigsh", "svds", "lanczos",
-    "ilu0", "ic0", "Ilu0Precond",
+    "ilu0", "ic0", "Ilu0Precond", "chebyshev", "ChebyshevPrecond",
     "expm_multiply", "arnoldi",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",
     "lu", "lu_solve", "LuFactor",

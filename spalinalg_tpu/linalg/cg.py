@@ -125,10 +125,14 @@ def cg(
             # incomplete-factorization objects hold single-chip plans;
             # only sharding-aware callables are usable here
             if hasattr(precondition, "solve"):
-                raise ValueError(
-                    "factorization preconditioners are single-chip; pass a "
-                    "sharding-aware callable for DistCsr operands")
-            precond = precondition
+                if not getattr(precondition, "supports_dist", False):
+                    raise ValueError(
+                        "this preconditioner is single-chip; build it on "
+                        "the DistCsr operand (chebyshev) or pass a "
+                        "sharding-aware callable")
+                precond = precondition.solve
+            else:
+                precond = precondition
         if precondition == "jacobi":
             import numpy as np
 

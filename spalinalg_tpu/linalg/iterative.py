@@ -75,10 +75,11 @@ def _resolve_precond(M, A):
     if M is None:
         return None
     if hasattr(M, "solve"):
-        if isinstance(A, DistCsr):
+        if isinstance(A, DistCsr) and not getattr(M, "supports_dist", False):
             raise ValueError(
-                "factorization preconditioners are single-chip; pass a "
-                "sharding-aware callable for DistCsr operands")
+                "this preconditioner is single-chip; build it on the "
+                "DistCsr operand (chebyshev) or pass a sharding-aware "
+                "callable")
         return M.solve
     if callable(M):
         return M

@@ -53,7 +53,7 @@ from ..dtypes import INDEX_DTYPE
 from ..errors import ShapeError, StructureError
 from .triangular import TriangularPlan, plan_triangular
 
-__all__ = ["Ilu0Precond", "ilu0", "ic0"]
+__all__ = ["Ilu0Precond", "ilu0", "ic0", "chebyshev", "ChebyshevPrecond"]
 
 
 @dataclass(frozen=True, eq=False)
@@ -229,3 +229,99 @@ def ic0(csr) -> Ilu0Precond:
         l_plan=plan_triangular(l_mat, lower=True),
         u_plan=plan_triangular(lt_mat, lower=False),
         kind="ic0")
+
+
+@dataclass(frozen=True, eq=False)
+class ChebyshevPrecond:
+    """Polynomial preconditioner: ``M⁻¹r ≈ p_k(A) r ≈ A⁻¹r``.
+
+    The TPU-first preconditioner: its application is ``degree`` SpMVs and
+    axpys — no triangular solves, no level scheduling, no per-level graph
+    unrolling — so it rides the same roofline as the operator itself and
+    composes with ANY operand (CSR/BSR/DistCsr: the SpMV dispatch decides).
+    Spectrum bounds ``(lmin, lmax)`` must bracket A's eigenvalues (SPD).
+    """
+
+    lmin: float
+    lmax: float
+    degree: int
+    a: object
+
+    @property
+    def supports_dist(self) -> bool:
+        """Pure-SpMV application: sharding-aware iff its operand is."""
+        from ..parallel.partition import DistCsr
+
+        return isinstance(self.a, DistCsr)
+
+    def _matvec(self, v):
+        from ..parallel.partition import DistCsr
+
+        if isinstance(self.a, DistCsr):
+            from ..parallel.spmv import dist_spmv
+
+            return dist_spmv(self.a, v)
+        return self.a @ v
+
+    def solve(self, r: jax.Array) -> jax.Array:
+        """Chebyshev iteration for ``A z = r`` from ``z0 = 0`` (Saad §12.3)."""
+        theta = (self.lmax + self.lmin) / 2.0
+        delta = (self.lmax - self.lmin) / 2.0
+        r = jnp.asarray(r)
+        # first step: z1 = r / theta
+        z = r / theta
+        if self.degree == 1:
+            return z
+        rho_prev = delta / theta
+        resid = r - self._matvec(z)
+        d = z                                  # z_k - z_{k-1}
+        for _ in range(self.degree - 1):
+            rho = 1.0 / (2.0 * theta / delta - rho_prev)
+            d = rho * rho_prev * d + (2.0 * rho / delta) * resid
+            z = z + d
+            resid = resid - self._matvec(d)
+            rho_prev = rho
+        return z
+
+    __call__ = solve
+
+
+def chebyshev(A, *, degree: int = 8, lmin: float = None,
+              lmax: float = None, power_iters: int = 20) -> ChebyshevPrecond:
+    """Build a Chebyshev preconditioner for an SPD operand.
+
+    Missing spectrum bounds are estimated once at setup: ``lmax`` by
+    power iteration (inflated 5 %), ``lmin`` defaults to ``lmax / 30``
+    (clustering the polynomial on the high end — the standard choice when
+    the small eigenvalues are unknown).
+    """
+    from ..parallel.partition import DistCsr
+
+    is_dist = isinstance(A, DistCsr)
+    shape = (A.nrows, A.ncols) if is_dist else A.shape
+    if shape[0] != shape[1]:
+        raise ShapeError(f"chebyshev needs a square operand, got {shape}")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if lmax is None:
+        if is_dist:
+            raise ValueError(
+                "pass explicit (lmin, lmax) for DistCsr operands — the "
+                "setup-time power iteration is single-chip only")
+        n = shape[0]
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=n))
+        v = v / jnp.linalg.norm(v)
+
+        def body(_, v):
+            w = A @ v
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+
+        v = jax.lax.fori_loop(0, power_iters, body, v)
+        lmax = 1.05 * float(jnp.vdot(v, A @ v))
+    if lmin is None:
+        lmin = lmax / 30.0
+    if not 0 < lmin < lmax:
+        raise ValueError(f"need 0 < lmin < lmax, got {lmin}, {lmax}")
+    return ChebyshevPrecond(lmin=float(lmin), lmax=float(lmax),
+                            degree=int(degree), a=A)

@@ -149,3 +149,62 @@ def test_dist_rejects_factorization_precond(rng):
     bs = shard_vector(np.ones(64), dist)
     with pytest.raises(ValueError):
         gmres(dist, bs, M=ilu0(A))
+
+
+class TestChebyshev:
+    def test_approximates_inverse(self):
+        from spalinalg_tpu.linalg import chebyshev
+
+        A = _laplacian_2d(8)
+        M = chebyshev(A, degree=40, lmin=0.1, lmax=8.0)
+        b = np.ones(A.nrows)
+        z = np.asarray(M.solve(b))
+        ref = np.linalg.solve(np.asarray(A.to_dense()), b)
+        # degree-40 on a bracketed spectrum: close to the true inverse
+        assert np.linalg.norm(z - ref) < 0.05 * np.linalg.norm(ref)
+
+    def test_accelerates_cg(self):
+        from spalinalg_tpu.linalg import chebyshev
+
+        A = _laplacian_2d(16)
+        b = np.ones(A.nrows)
+        plain = cg(A, b, tol=1e-10)
+        M = chebyshev(A, degree=8)        # auto spectrum estimate
+        pre = cg(A, b, tol=1e-10, precondition=M)
+        assert float(pre.residual) < 1e-8
+        assert int(pre.iterations) < int(plain.iterations) / 2
+        np.testing.assert_allclose(np.asarray(pre.x), np.asarray(plain.x),
+                                   atol=1e-6)
+
+    def test_distributed_composes(self, rng):
+        """Chebyshev is pure SpMV -> works on DistCsr operands directly."""
+        import jax as _jax
+
+        from spalinalg_tpu.linalg import chebyshev
+        from spalinalg_tpu.parallel.partition import (
+            make_row_mesh,
+            partition_csr,
+        )
+        from spalinalg_tpu.parallel.spmv import shard_vector, unshard_vector
+
+        A = _laplacian_2d(8)
+        n = A.nrows
+        b = rng.normal(size=n)
+        ref = np.asarray(cg(A, b, tol=1e-10,
+                            precondition=chebyshev(A, degree=6,
+                                                   lmin=0.2, lmax=8.0)).x)
+        dist = partition_csr(A, make_row_mesh(8))
+        M = chebyshev(dist, degree=6, lmin=0.2, lmax=8.0)
+        bs = shard_vector(b, dist)
+        res = cg(dist, bs, tol=1e-10, precondition=M)
+        x = np.asarray(unshard_vector(res.x, dist))
+        np.testing.assert_allclose(x, ref, atol=1e-6)
+
+    def test_validation(self):
+        from spalinalg_tpu.linalg import chebyshev
+
+        A = _laplacian_2d(4)
+        with pytest.raises(ValueError):
+            chebyshev(A, degree=0)
+        with pytest.raises(ValueError):
+            chebyshev(A, lmin=5.0, lmax=1.0)
