@@ -181,6 +181,61 @@ def bench_csr_random(on_tpu: bool):
     return nnz, per
 
 
+def bench_spmm(on_tpu: bool):
+    """CSR SpMM with 64 dense RHS columns (BASELINE config[1])."""
+    import jax.numpy as jnp
+
+    from spalinalg_tpu import CsrMatrix
+    from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+    n = 1 << 14 if on_tpu else 1 << 10
+    row_nnz, K = 32, 64
+    nnz = n * row_nnz
+    rng = np.random.default_rng(0)
+    colind = np.sort(rng.integers(0, n, size=(n, row_nnz)), axis=1)
+    rowptr = np.arange(n + 1, dtype=np.int64) * row_nnz
+    values = rng.normal(size=nnz).astype(np.float32)
+    csr = CsrMatrix._from_parts(
+        n, n,
+        jnp.asarray(rowptr, dtype=INDEX_DTYPE),
+        jnp.asarray(colind.reshape(-1), dtype=INDEX_DTYPE),
+        jnp.asarray(values),
+    )
+    X0 = jnp.asarray(rng.normal(size=(n, K)).astype(np.float32))
+
+    def mm(X):
+        return csr @ X
+
+    # _loop_rate wants a vector-normalised loop; adapt for matrices
+    import jax
+
+    @partial(jax.jit, static_argnames=("k",))
+    def loop(X, k):
+        def body(i, Xc):
+            Y = mm(Xc)
+            return Y / (jnp.max(jnp.abs(Y)) + 1.0)
+        return jax.lax.fori_loop(0, k, body, X)
+
+    def timed(k, reps):
+        best = None
+        _ = float(loop(X0 * np.float32(1 + next(_seed) * 1e-6), k=k)[0, 0])
+        for _r in range(reps):
+            Xs = X0 * np.float32(1 + next(_seed) * 1e-6)
+            t0 = time.perf_counter()
+            _ = float(loop(Xs, k=k)[0, 0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    if on_tpu:
+        d_lo, d_hi = timed(9, 3), timed(33, 3)
+        per = max((d_hi - d_lo) / 24, 1e-9)
+    else:
+        d_lo, d_hi = timed(1, 1), timed(3, 1)
+        per = max((d_hi - d_lo) / 2, 1e-9)
+    return nnz, K, per
+
+
 def bench_spgemm(on_tpu: bool):
     """SpGEMM on a power-law graph matrix (BASELINE config[2]).
 
@@ -299,6 +354,23 @@ def main() -> None:
         )
     except Exception as e:  # secondary must never kill the headline
         print(f"[bench] csr_random failed: {e}", file=sys.stderr)
+
+    try:
+        nnz_m, K_m, per_m = bench_spmm(on_tpu)
+        # traffic model per nnz: 4B value + 4B colind + K*4B X-row gather
+        # + amortised Y writes -> flops = 2*nnz*K
+        mm_flops = 2.0 * nnz_m * K_m / per_m
+        mm_roof = hbm / (8.0 + 4.0 * K_m) * 2.0 * K_m  # flops at traffic roof
+        secondary["csr_spmm_k64_gflops"] = round(mm_flops / 1e9, 2)
+        secondary["csr_spmm_roofline_frac"] = round(mm_flops / mm_roof, 4)
+        print(
+            f"[bench] csr_spmm nnz={nnz_m} K={K_m} {per_m*1e3:.3f} ms -> "
+            f"{mm_flops/1e9:.1f} GFLOP/s ({100*mm_flops/mm_roof:.1f}% of "
+            f"{mm_roof/1e9:.0f} GFLOP/s traffic roofline)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] csr_spmm failed: {e}", file=sys.stderr)
 
     try:
         n_terms, per_g = bench_spgemm(on_tpu)
