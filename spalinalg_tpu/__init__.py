@@ -43,6 +43,7 @@ from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: 
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
 from .ops.structure import bmat, block_diag, hstack, kron, vstack  # noqa: E402
 from .ops.construct import diags, sprandom  # noqa: E402
+from .ops.reduce_api import diagonal, mat_mean, mat_sum, multiply, norm  # noqa: E402
 from . import linalg  # noqa: E402
 from . import io  # noqa: E402
 from . import utils  # noqa: E402
@@ -52,6 +53,7 @@ __version__ = "0.1.0"
 __all__ = [
     "kron", "hstack", "vstack", "block_diag", "bmat",
     "diags", "sprandom",
+    "mat_sum", "mat_mean", "diagonal", "multiply", "norm",
     "CooMatrix",
     "DokMatrix",
     "CsrMatrix",

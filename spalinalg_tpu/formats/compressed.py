@@ -303,6 +303,37 @@ class _CompressedMatrix:
         return self.transpose()
 
     # ------------------------------------------------------------------
+    # Reductions / queries (scipy-style surface; ops/reduce_api.py)
+    # ------------------------------------------------------------------
+
+    def sum(self, axis=None):
+        from ..ops.reduce_api import mat_sum
+
+        return mat_sum(self, axis)
+
+    def mean(self, axis=None):
+        from ..ops.reduce_api import mat_mean
+
+        return mat_mean(self, axis)
+
+    def diagonal(self, k: int = 0):
+        from ..ops.reduce_api import diagonal
+
+        return diagonal(self, k)
+
+    def multiply(self, other):
+        """Elementwise (Hadamard) product — NOT SpGEMM (`*` is, matching
+        the reference operator); scipy's ``A.multiply(B)`` semantics."""
+        from ..ops.reduce_api import multiply
+
+        return multiply(self, other)
+
+    def norm(self, ord="fro"):
+        from ..ops.reduce_api import norm
+
+        return norm(self, ord)
+
+    # ------------------------------------------------------------------
     # Export helpers
     # ------------------------------------------------------------------
 
