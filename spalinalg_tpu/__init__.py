@@ -44,6 +44,7 @@ from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E
 from .ops.structure import bmat, block_diag, hstack, kron, vstack  # noqa: E402
 from .ops.construct import diags, sprandom  # noqa: E402
 from .ops.reduce_api import diagonal, mat_mean, mat_sum, multiply, norm  # noqa: E402
+from .ops.indexing import getcol, getrow, row_slice, select_cols, select_rows, submatrix  # noqa: E402
 from . import linalg  # noqa: E402
 from . import io  # noqa: E402
 from . import utils  # noqa: E402
@@ -54,6 +55,7 @@ __all__ = [
     "kron", "hstack", "vstack", "block_diag", "bmat",
     "diags", "sprandom",
     "mat_sum", "mat_mean", "diagonal", "multiply", "norm",
+    "row_slice", "select_rows", "select_cols", "submatrix", "getrow", "getcol",
     "CooMatrix",
     "DokMatrix",
     "CsrMatrix",

@@ -31,6 +31,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.qr",
     "spalinalg_tpu.linalg.triangular",
     "spalinalg_tpu.ops.elementwise",
+    "spalinalg_tpu.ops.indexing",
     "spalinalg_tpu.ops.reduce_api",
     "spalinalg_tpu.ops.spgemm",
     "spalinalg_tpu.ops.construct",
