@@ -45,14 +45,22 @@ def lanczos(A, m: int, *, v0=None, seed: int = 0):
     """
     n = A.shape[1] if hasattr(A, "shape") else A.ncols
     if v0 is None:
-        v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,),
-                               dtype=jnp.float64 if _wants_x64(A)
-                               else jnp.float32)
+        dt = jnp.float64 if _wants_x64(A) else jnp.float32
+        v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=dt)
+        from ..parallel.partition import DistCsr
+
+        if isinstance(A, DistCsr):
+            # padded sharded operand vector (pads zero: they stay zero
+            # through SpMV and orthogonalisation, so norms are exact)
+            from ..parallel.spmv import shard_vector
+
+            v0 = shard_vector(v0, A)
     v0 = jnp.asarray(v0)
     dtype = v0.dtype
     v0 = v0 / jnp.linalg.norm(v0)
 
-    V = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
+    # basis length follows the operand vector (padded for DistCsr)
+    V = jnp.zeros((m + 1, v0.shape[0]), dtype).at[0].set(v0)
     alpha = jnp.zeros(m, dtype)
     beta = jnp.zeros(m, dtype)
 
@@ -132,6 +140,13 @@ def svds(A, k: int = 6, *, m: Optional[int] = None, seed: int = 0):
     (``AᵀA`` or ``AAᵀ`` as a matrix-free product — two SpMVs per Lanczos
     step, no SpGEMM), then recovers the other factor by one projection.
     """
+    from ..parallel.partition import DistCsr
+
+    if isinstance(A, DistCsr):
+        raise ValueError(
+            "svds needs A.transpose(); DistCsr has no distributed "
+            "transpose yet — run svds on the single-chip operand or use "
+            "eigsh on a pre-formed Gram operator")
     mm, nn = A.shape
     if not 0 < k < min(mm, nn):
         raise ValueError(f"need 0 < k < min(shape), got k={k}, {A.shape}")

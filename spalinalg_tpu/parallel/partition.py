@@ -91,6 +91,30 @@ class DistCsr:
     def nse_per_shard(self) -> int:
         return self.colind.shape[1]
 
+    # first-class operand surface: lets the solver/spectral tier
+    # (cg/gmres/bicgstab/eigsh/expm_multiply/chebyshev) treat a DistCsr
+    # like any other matrix. Shapes are the LOGICAL dims; the operand
+    # vectors are the padded sharded ones from `shard_vector`.
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def padded_dim(self) -> int:
+        """Length of the padded sharded operand vectors."""
+        return self.n_shards * self.rows_per_shard
+
+    def __matmul__(self, other):
+        from .spmv import dist_spmm, dist_spmv
+
+        if getattr(other, "ndim", 1) == 2:
+            return dist_spmm(self, other)
+        return dist_spmv(self, other)
+
     def tree_flatten(self):
         return (self.rowptr, self.colind, self.values), (
             self.nrows, self.ncols, self.rows_per_shard, self.mesh,

@@ -88,3 +88,39 @@ def test_validation(rng):
         2, 5, [(0, 0, 1.0), (1, 4, 2.0)]))
     with pytest.raises(ShapeError):
         eigsh(wide, k=1)
+
+
+class TestDistributed:
+    def test_eigsh_dist_parity(self, rng):
+        """eigsh on a DistCsr (first-class @ operand) matches single-chip."""
+        from spalinalg_tpu.parallel.partition import (
+            make_row_mesh,
+            partition_csr,
+        )
+
+        A, d = _sym(rng, 96)
+        w_ref, _ = eigsh(A, k=3, which="LA", m=60)
+        dist = partition_csr(A, make_row_mesh(8))
+        w, v = eigsh(dist, k=3, which="LA", m=60)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=1e-8)
+
+    def test_expm_dist_parity(self, rng):
+        from spalinalg_tpu.linalg import expm_multiply
+        from spalinalg_tpu.parallel.partition import (
+            make_row_mesh,
+            partition_csr,
+        )
+        from spalinalg_tpu.parallel.spmv import shard_vector, unshard_vector
+
+        A, d = _sym(rng, 64)
+        A2 = CsrMatrix.from_coo(
+            CooMatrix.with_triplets(
+                64, 64, *[list(x) for x in zip(*[(r, c, v * 0.1)
+                    for r, c, v in zip(*map(np.asarray, A._coo_arrays_host()))])]))
+        b = rng.normal(size=64)
+        ref = np.asarray(expm_multiply(A2, b, t=1.0, m=40))
+        dist = partition_csr(A2, make_row_mesh(8))
+        u = expm_multiply(dist, shard_vector(b, dist), t=1.0, m=40)
+        np.testing.assert_allclose(
+            np.asarray(unshard_vector(u, dist)), ref, atol=1e-8)
