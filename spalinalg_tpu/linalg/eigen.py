@@ -32,7 +32,39 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eigsh", "svds", "lanczos"]
+__all__ = ["eigsh", "svds", "lanczos", "block_lanczos"]
+
+
+def block_lanczos(A, m: int, b: int, *, seed: int = 0):
+    """``m``-step block Lanczos with block size ``b`` and full
+    reorthogonalisation. Returns an orthonormal basis ``V`` of shape
+    ``(m*b, n)`` spanning the block-Krylov space.
+
+    Block size ``b`` resolves eigenvalue clusters of multiplicity ≤ b —
+    the single-vector caveat documented on :func:`eigsh`. Each step is
+    one SpMM (``A`` on a ``(n, b)`` block — MXU work), two full-basis
+    GEMM orthogonalisations, and one thin QR.
+    """
+    n = A.shape[1] if hasattr(A, "shape") else A.ncols
+    dt = jnp.float64 if _wants_x64(A) else jnp.float32
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n, b), dtype=dt)
+    q0, _ = jnp.linalg.qr(v0, mode="reduced")              # (n, b)
+
+    M = m * b
+    V = jnp.zeros((M + b, n), dt).at[:b].set(q0.T)
+
+    def step(i, V):
+        lo = i * b
+        blk = jax.lax.dynamic_slice_in_dim(V, lo, b, axis=0)   # (b, n)
+        W = (A @ blk.T)                                        # (n, b) SpMM
+        # full reorthogonalisation, twice (rows beyond lo+b are zero)
+        W = W - V.T @ (V @ W)
+        W = W - V.T @ (V @ W)
+        Q, _ = jnp.linalg.qr(W, mode="reduced")
+        return jax.lax.dynamic_update_slice_in_dim(V, Q.T, lo + b, axis=0)
+
+    V = jax.lax.fori_loop(0, m, step, V)
+    return V[:M]
 
 
 def lanczos(A, m: int, *, v0=None, seed: int = 0):
@@ -91,8 +123,36 @@ def _wants_x64(A) -> bool:
         return False
 
 
+class _ShiftInvertOp:
+    """``(A - σI)⁻¹`` as a matvec operator via the factorization tier."""
+
+    def __init__(self, A, sigma: float):
+        from ..ops.construct import diags
+        from .lu import lu
+
+        n = A.shape[0]
+        if sigma != 0.0:
+            shift = diags([float(sigma)], offsets=[0], shape=(n, n))
+            mat = A - shift
+        else:
+            mat = A
+        self._fac = lu(mat)
+        self.shape = A.shape
+        self.dtype = getattr(A, "dtype", jnp.float64)
+
+    def __matmul__(self, v):
+        from .lu import lu_solve
+
+        if v.ndim == 2:
+            return jnp.stack([lu_solve(self._fac, v[:, j])
+                              for j in range(v.shape[1])], axis=1)
+        return lu_solve(self._fac, v)
+
+
 def eigsh(A, k: int = 6, *, which: str = "LA", m: Optional[int] = None,
-          v0=None, seed: int = 0) -> Tuple[jax.Array, jax.Array]:
+          v0=None, seed: int = 0, block: int = 1,
+          sigma: Optional[float] = None
+          ) -> Tuple[jax.Array, jax.Array]:
     """Top/bottom-``k`` eigenpairs of a symmetric sparse operator.
 
     ``which``: "LA" (largest algebraic) or "SA" (smallest algebraic).
@@ -103,10 +163,16 @@ def eigsh(A, k: int = 6, *, which: str = "LA", m: Optional[int] = None,
 
     Caveat (inherent to single-vector Lanczos): a degenerate eigenvalue
     of multiplicity d > 1 surfaces only once per starting vector — the
-    Krylov space contains one vector of each eigenspace. To resolve
-    multiplicities, run again with a different ``seed`` on the deflated
-    residual, or use a larger ``k`` and deduplicate.
+    Krylov space contains one vector of each eigenspace. Pass
+    ``block=b ≥ d`` to resolve clusters: the block variant
+    (:func:`block_lanczos` + Rayleigh-Ritz) finds multiplicities up to
+    the block size, at one SpMM (instead of SpMV) per step.
     """
+    if sigma is not None:
+        return _eigsh_shift_invert(A, k, sigma=sigma, m=m, seed=seed,
+                                   block=block)
+    if block > 1:
+        return _eigsh_block(A, k, which=which, m=m, b=block, seed=seed)
     if which not in ("LA", "SA"):
         raise ValueError(f"which must be 'LA' or 'SA', got {which!r}")
     n = A.shape[0]
@@ -129,6 +195,72 @@ def eigsh(A, k: int = 6, *, which: str = "LA", m: Optional[int] = None,
     v_k = V.T @ y_k                       # (n, k) Ritz vectors
     # normalise (padding rows of V are zero; Ritz vectors stay unit up to
     # breakdown, renormalise defensively)
+    v_k = v_k / jnp.linalg.norm(v_k, axis=0, keepdims=True)
+    return w_k, v_k
+
+
+def _eigsh_shift_invert(A, k, *, sigma, m, seed, block=1):
+    """Shift-invert mode: eigenvalues of ``A`` nearest ``σ``.
+
+    Lanczos runs on ``(A - σI)⁻¹`` (one LU factorization at setup, one
+    triangular-solve pair per step); Ritz values θ map back as
+    ``λ = σ + 1/θ``, selected by largest ``|θ|`` (nearest σ first).
+    The standard escape for slow exterior convergence — e.g. the
+    smallest eigenvalues of a large Laplacian via ``sigma=0``.
+    """
+    n = A.shape[0]
+    if not 0 < k < n:
+        raise ValueError(f"need 0 < k < n, got k={k}, n={n}")
+    op = _ShiftInvertOp(A, float(sigma))
+    if block > 1:
+        mb = int(m) if m is not None else max(2, -(-max(2 * k + 8, 24)
+                                                   // block))
+        V = block_lanczos(op, mb, block, seed=seed)
+        AVt = op @ V.T
+        T = V @ AVt
+        T = (T + T.T) / 2.0
+        theta, y = jnp.linalg.eigh(T)
+    else:
+        mm = int(m) if m is not None else min(n, max(2 * k + 8, 24))
+        mm = max(mm, k + 1)
+        alpha, beta, V = lanczos(op, mm, seed=seed)
+        T = (jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1))
+        theta, y = jnp.linalg.eigh(T)
+    idx = jnp.argsort(jnp.abs(theta))[-k:]                 # nearest sigma
+    theta_k = theta[idx]
+    lam = sigma + 1.0 / theta_k
+    order = jnp.argsort(lam)
+    lam = lam[order]
+    y_k = y[:, idx][:, order]
+    v_k = V.T @ y_k
+    v_k = v_k / jnp.linalg.norm(v_k, axis=0, keepdims=True)
+    return lam, v_k
+
+
+def _eigsh_block(A, k, *, which, m, b, seed):
+    """Block-Lanczos Rayleigh-Ritz path of :func:`eigsh`."""
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        from ..errors import ShapeError
+
+        raise ShapeError(f"eigsh needs a square operator, got {A.shape}")
+    if not 0 < k < n:
+        raise ValueError(f"need 0 < k < n, got k={k}, n={n}")
+    m_blocks = (int(m) if m is not None
+                else max(2, -(-max(2 * k + 8, 32) // b)))
+    m_blocks = max(m_blocks, -(-(k + 1) // b))
+    if m_blocks * b > n:
+        m_blocks = max(1, n // b)
+    V = block_lanczos(A, m_blocks, b, seed=seed)        # (M, n)
+    AVt = A @ V.T                                       # (n, M) SpMM
+    T = V @ AVt
+    T = (T + T.T) / 2.0
+    w, y = jnp.linalg.eigh(T)
+    if which == "LA":
+        w_k, y_k = w[-k:], y[:, -k:]
+    else:
+        w_k, y_k = w[:k], y[:, :k]
+    v_k = V.T @ y_k
     v_k = v_k / jnp.linalg.norm(v_k, axis=0, keepdims=True)
     return w_k, v_k
 

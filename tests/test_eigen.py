@@ -124,3 +124,92 @@ class TestDistributed:
         u = expm_multiply(dist, shard_vector(b, dist), t=1.0, m=40)
         np.testing.assert_allclose(
             np.asarray(unshard_vector(u, dist)), ref, atol=1e-8)
+
+
+class TestBlockLanczos:
+    def test_resolves_degenerate_cluster(self, rng):
+        """2-D grid Laplacian: lambda_{p,q} = lambda_{q,p} (multiplicity 2).
+        Single-vector Lanczos finds one copy; block=2 finds both."""
+        from spalinalg_tpu.linalg import eigsh
+
+        g = 12
+        n = g * g
+        ent = []
+        for i in range(g):
+            for j in range(g):
+                kk = i * g + j
+                ent.append((kk, kk, 4.0))
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    a, b2 = i + di, j + dj
+                    if 0 <= a < g and 0 <= b2 < g:
+                        ent.append((kk, a * g + b2, -1.0))
+        A = CsrMatrix.from_coo(CooMatrix.with_entries(n, n, ent))
+        lam = lambda p, q: (4 - 2 * np.cos(p * np.pi / (g + 1))
+                            - 2 * np.cos(q * np.pi / (g + 1)))
+        ref = np.sort([lam(p, q) for p in range(1, 4)
+                       for q in range(1, 4)])[:4]     # includes a pair
+        w, v = eigsh(A, k=4, which="SA", block=2, m=40)
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-7)
+        # eigenvectors orthonormal
+        vv = np.asarray(v)
+        np.testing.assert_allclose(vv.T @ vv, np.eye(4), atol=1e-7)
+
+    def test_block_matches_single_on_simple_spectrum(self, rng):
+        from spalinalg_tpu.linalg import eigsh
+
+        A, d = _sym(rng, 80)
+        w1, _ = eigsh(A, k=3, which="LA", m=50)
+        w2, _ = eigsh(A, k=3, which="LA", block=3, m=18)
+        ref = np.linalg.eigvalsh(d)[-3:]
+        np.testing.assert_allclose(np.asarray(w1), ref, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w2), ref, atol=1e-6)
+
+    def test_basis_orthonormal(self, rng):
+        from spalinalg_tpu.linalg import block_lanczos
+
+        A, d = _sym(rng, 64)
+        V = np.asarray(block_lanczos(A, 10, 3))
+        np.testing.assert_allclose(V @ V.T, np.eye(30), atol=1e-8)
+
+
+class TestShiftInvert:
+    def test_smallest_laplacian_modes_exact(self):
+        """sigma=0 shift-invert: machine-precision smallest modes incl.
+        the degenerate pair (the exterior-Lanczos slow case)."""
+        from spalinalg_tpu.linalg import eigsh
+
+        g = 16
+        n = g * g
+        ent = []
+        for i in range(g):
+            for j in range(g):
+                kk = i * g + j
+                ent.append((kk, kk, 4.0))
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    a, b2 = i + di, j + dj
+                    if 0 <= a < g and 0 <= b2 < g:
+                        ent.append((kk, a * g + b2, -1.0))
+        A = CsrMatrix.from_coo(CooMatrix.with_entries(n, n, ent))
+        lam = lambda p, q: (4 - 2 * np.cos(p * np.pi / (g + 1))
+                            - 2 * np.cos(q * np.pi / (g + 1)))
+        ref = np.sort([lam(p, q) for p in range(1, 5)
+                       for q in range(1, 5)])[:4]
+        w, v = eigsh(A, k=4, sigma=0.0, block=2, m=12)
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-10)
+        # residuals ||A v - w v||
+        d = np.asarray(A.to_dense())
+        for j in range(4):
+            vv = np.asarray(v[:, j])
+            assert np.linalg.norm(d @ vv - float(w[j]) * vv) < 1e-5
+
+    def test_interior_shift(self, rng):
+        """sigma inside the spectrum returns the eigenvalues nearest it."""
+        from spalinalg_tpu.linalg import eigsh
+
+        A, d = _sym(rng, 60, shift=0.0)
+        ew = np.linalg.eigvalsh(d)
+        sigma = float((ew[29] + ew[30]) / 2)
+        w, _ = eigsh(A, k=3, sigma=sigma, m=40)
+        ref = ew[np.argsort(np.abs(ew - sigma))[:3]]
+        np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(ref),
+                                   atol=1e-7)
