@@ -194,7 +194,7 @@ class TestShiftInvert:
                             - 2 * np.cos(q * np.pi / (g + 1)))
         ref = np.sort([lam(p, q) for p in range(1, 5)
                        for q in range(1, 5)])[:4]
-        w, v = eigsh(A, k=4, sigma=0.0, block=2, m=12)
+        w, v = eigsh(A, k=4, sigma=0.0, block=2, m=24)
         np.testing.assert_allclose(np.asarray(w), ref, atol=1e-10)
         # residuals ||A v - w v||
         d = np.asarray(A.to_dense())
