@@ -276,9 +276,10 @@ def svds(A, k: int = 6, *, m: Optional[int] = None, seed: int = 0):
 
     if isinstance(A, DistCsr):
         raise ValueError(
-            "svds needs A.transpose(); DistCsr has no distributed "
-            "transpose yet — run svds on the single-chip operand or use "
-            "eigsh on a pre-formed Gram operator")
+            "svds on DistCsr is unsupported (the A / Aᵀ operand vector "
+            "spaces shard differently for rectangular operands) — gather "
+            "with A.to_csr() first, or use eigsh on a pre-formed Gram "
+            "operator")
     mm, nn = A.shape
     if not 0 < k < min(mm, nn):
         raise ValueError(f"need 0 < k < min(shape), got k={k}, {A.shape}")

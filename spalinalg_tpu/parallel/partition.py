@@ -115,6 +115,46 @@ class DistCsr:
             return dist_spmm(self, other)
         return dist_spmv(self, other)
 
+    def to_csr(self):
+        """Gather the shards back into one host-side CSR (setup-class
+        op — O(nnz) host traffic, not a hot path)."""
+        import jax.numpy as jnp
+
+        from ..convert.engine import compress_host
+        from ..dtypes import INDEX_DTYPE
+        from ..formats.compressed import CsrMatrix
+
+        rp = np.asarray(self.rowptr, dtype=np.int64)
+        ci = np.asarray(self.colind, dtype=np.int64)
+        vv = np.asarray(self.values)
+        rows_l, cols_l, vals_l = [], [], []
+        for p in range(self.n_shards):
+            nse = int(rp[p, -1])
+            local_rows = np.repeat(
+                np.arange(self.rows_per_shard, dtype=np.int64),
+                np.diff(rp[p]))
+            grows = local_rows + p * self.rows_per_shard
+            keep = grows < self.nrows          # drop pad rows
+            rows_l.append(grows[keep])
+            cols_l.append(ci[p, :nse][keep])
+            vals_l.append(vv[p, :nse][keep])
+        ptr, minor, values = compress_host(
+            np.concatenate(rows_l), np.concatenate(cols_l),
+            np.concatenate(vals_l), self.nrows,
+            dedup=False, drop_zeros=False)
+        return CsrMatrix._from_parts(
+            self.nrows, self.ncols,
+            jnp.asarray(ptr, dtype=INDEX_DTYPE),
+            jnp.asarray(minor, dtype=INDEX_DTYPE),
+            jnp.asarray(values))
+
+    def transpose(self) -> "DistCsr":
+        """Distributed transpose via the host path: gather, transpose,
+        re-partition on the same mesh (the comm plan is re-chosen for
+        the transposed structure)."""
+        return partition_csr(self.to_csr().transpose(), self.mesh,
+                             axis=self.axis)
+
     def tree_flatten(self):
         return (self.rowptr, self.colind, self.values), (
             self.nrows, self.ncols, self.rows_per_shard, self.mesh,

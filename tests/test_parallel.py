@@ -228,3 +228,41 @@ class TestMultihost:
         s = global_device_summary()
         assert s["global_device_count"] >= 8
         assert s["process_count"] == 1
+
+
+class TestDistTranspose:
+    def test_to_csr_roundtrip(self, rng, mesh):
+        import numpy as np
+
+        from spalinalg_tpu.parallel.partition import partition_csr
+
+        n = 50
+        d = np.where(rng.random((n, n)) < 0.1, rng.normal(size=(n, n)), 0)
+        rows, cols = np.nonzero(d)
+        from spalinalg_tpu import CooMatrix, CsrMatrix
+
+        csr = CsrMatrix.from_coo(CooMatrix.with_triplets(
+            n, n, rows.tolist(), cols.tolist(), d[rows, cols].tolist()))
+        dist = partition_csr(csr, mesh)
+        back = dist.to_csr()
+        np.testing.assert_allclose(np.asarray(back.to_dense()), d,
+                                   atol=1e-12)
+
+    def test_transpose_parity(self, rng, mesh):
+        import numpy as np
+
+        from spalinalg_tpu.parallel.partition import partition_csr
+        from spalinalg_tpu.parallel.spmv import shard_vector, unshard_vector
+        from spalinalg_tpu.parallel.spmv import dist_spmv
+        from spalinalg_tpu import CooMatrix, CsrMatrix
+
+        n = 64
+        d = np.where(rng.random((n, n)) < 0.1, rng.normal(size=(n, n)), 0)
+        rows, cols = np.nonzero(d)
+        csr = CsrMatrix.from_coo(CooMatrix.with_triplets(
+            n, n, rows.tolist(), cols.tolist(), d[rows, cols].tolist()))
+        dist_t = partition_csr(csr, mesh).transpose()
+        x = rng.normal(size=n)
+        y = unshard_vector(dist_spmv(dist_t, shard_vector(x, dist_t)),
+                           dist_t)
+        np.testing.assert_allclose(np.asarray(y), d.T @ x, atol=1e-10)
