@@ -394,6 +394,32 @@ class _CompressedMatrix:
         """Copy structure, negate values (csr/ops/neg.rs:5-18)."""
         return self.with_values(-self._values)
 
+    def __pow__(self, k):
+        """Matrix power ``A**k`` by binary exponentiation over the
+        SpGEMM tier (each squaring's plan is cached by structure).
+        ``A**0`` is the identity (scipy semantics); needs a square
+        matrix and integer ``k >= 0``."""
+        from ..errors import ShapeError
+
+        if not isinstance(k, (int, np.integer)) or isinstance(k, bool):
+            return NotImplemented
+        if self._nrows != self._ncols:
+            raise ShapeError(
+                f"matrix power needs a square matrix, got {self.shape}")
+        if k < 0:
+            raise ValueError(f"matrix power needs k >= 0, got {k}")
+        if k == 0:
+            return type(self).eye(self._nrows, dtype=self._values.dtype)
+        result = None
+        base = self
+        while k:
+            if k & 1:
+                result = base if result is None else result * base
+            k >>= 1
+            if k:
+                base = base * base
+        return result
+
     def __mul__(self, other):
         """SpGEMM for sparse*sparse (the reference's ``Mul``,
         csr/ops/mul.rs / csc/ops/mul.rs); scalar scaling for numbers."""

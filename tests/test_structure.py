@@ -149,3 +149,23 @@ class TestConstruct:
             sprandom(4, 4, density=1.5)
         with pytest.raises(ValueError):
             sprandom(4, 4, density=0.5, values="cauchy")
+
+
+class TestMatrixPower:
+    def test_matches_dense_power(self, rng):
+        a, sa = _rand(rng, 6, 6, density=0.4)
+        d = sa.toarray()
+        for k in (0, 1, 2, 3, 5):
+            got = np.asarray((a ** k).to_dense())
+            np.testing.assert_allclose(got, np.linalg.matrix_power(d, k),
+                                       atol=1e-8)
+
+    def test_validation(self, rng):
+        a, _ = _rand(rng, 3, 5)
+        from spalinalg_tpu.errors import ShapeError
+
+        with pytest.raises(ShapeError):
+            a ** 2
+        b, _ = _rand(rng, 4, 4)
+        with pytest.raises(ValueError):
+            b ** (-1)
