@@ -7,6 +7,7 @@ from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
 from .iterative import IterResult, bicgstab, gmres
 from .precond import ChebyshevPrecond, Ilu0Precond, chebyshev, ic0, ilu0
+from .solve import factorized, is_symmetric, spsolve
 from .ordering import bandwidth, level_schedule, rcm_ordering
 from .qr import (
     QrFactor,
@@ -36,6 +37,7 @@ __all__ = [
     "lu", "lu_solve", "LuFactor",
     "qr", "qr_solve", "qr_q_apply", "qr_qt_apply", "qr_r_dense",
     "lstsq", "QrFactor",
+    "spsolve", "factorized", "is_symmetric",
     "rcm_ordering", "bandwidth", "level_schedule",
     "solve_triangular_csr", "plan_triangular", "TriangularPlan",
     "band_cholesky_factor", "band_cholesky_solve", "BandCholeskyFactor",

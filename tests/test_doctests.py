@@ -29,6 +29,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.linalg.lu",
     "spalinalg_tpu.linalg.precond",
     "spalinalg_tpu.linalg.qr",
+    "spalinalg_tpu.linalg.solve",
     "spalinalg_tpu.linalg.triangular",
     "spalinalg_tpu.ops.elementwise",
     "spalinalg_tpu.ops.indexing",
