@@ -268,6 +268,91 @@ class BsrMatrix:
             self._indptr, self._indices, data,
         )
 
+    def transpose(self) -> "BsrMatrix":
+        """Block-level transpose: the block pattern transposes through a
+        host lexsort (structure work, once) and the data moves with ONE
+        device gather + per-block transpose (``(nb, br, bc) ->
+        (nb, bc, br)``)."""
+        nbr = self._nrows // self._br
+        nbc = self._ncols // self._bc
+        ip = np.asarray(self._indptr, dtype=np.int64)
+        ic = np.asarray(self._indices, dtype=np.int64)
+        brow = np.repeat(np.arange(nbr, dtype=np.int64), np.diff(ip))
+        order = np.lexsort((brow, ic))           # sort by (bcol, brow)
+        new_ptr = np.zeros(nbc + 1, dtype=np.int64)
+        np.add.at(new_ptr, ic + 1, 1)
+        np.cumsum(new_ptr, out=new_ptr)
+        g = jnp.asarray(order, dtype=INDEX_DTYPE)
+        return BsrMatrix._from_parts(
+            self._ncols, self._nrows, self._bc, self._br,
+            jnp.asarray(new_ptr, dtype=INDEX_DTYPE),
+            jnp.asarray(brow[order], dtype=INDEX_DTYPE),
+            self._data[g].transpose(0, 2, 1))
+
+    @property
+    def T(self) -> "BsrMatrix":
+        return self.transpose()
+
+    def _union_add(self, other: "BsrMatrix", sign: float) -> "BsrMatrix":
+        """Block-pattern union merge; numeric phase is two gathers (each
+        union slot pulls its source block or a zero pad) — scatter-free."""
+        if self.shape != other.shape:
+            raise ShapeError(
+                f"shape mismatch {self.shape} vs {other.shape}")
+        if self.blocksize != other.blocksize:
+            raise ShapeError(
+                f"blocksize mismatch {self.blocksize} vs {other.blocksize}")
+        nbr = self._nrows // self._br
+
+        def keys(m):
+            ip = np.asarray(m._indptr, dtype=np.int64)
+            ic = np.asarray(m._indices, dtype=np.int64)
+            br_ = np.repeat(np.arange(nbr, dtype=np.int64), np.diff(ip))
+            return br_ * (m._ncols // m._bc) + ic
+
+        ka, kb = keys(self), keys(other)
+        union = np.union1d(ka, kb)
+        # source slot per union key (pad slot = own n_blocks)
+        pos_a = np.searchsorted(union, ka)
+        pos_b = np.searchsorted(union, kb)
+        src_a = np.full(union.size, self.n_blocks, dtype=np.int64)
+        src_b = np.full(union.size, other.n_blocks, dtype=np.int64)
+        src_a[pos_a] = np.arange(ka.size)
+        src_b[pos_b] = np.arange(kb.size)
+        nbc = self._ncols // self._bc
+        rows_u = union // nbc
+        cols_u = union % nbc
+        new_ptr = np.zeros(nbr + 1, dtype=np.int64)
+        np.add.at(new_ptr, rows_u + 1, 1)
+        np.cumsum(new_ptr, out=new_ptr)
+        zpad = jnp.zeros((1, self._br, self._bc), dtype=self._data.dtype)
+        da = jnp.concatenate([self._data, zpad])[
+            jnp.asarray(src_a, dtype=INDEX_DTYPE)]
+        db = jnp.concatenate([other._data.astype(self._data.dtype), zpad])[
+            jnp.asarray(src_b, dtype=INDEX_DTYPE)]
+        return BsrMatrix._from_parts(
+            self._nrows, self._ncols, self._br, self._bc,
+            jnp.asarray(new_ptr, dtype=INDEX_DTYPE),
+            jnp.asarray(cols_u, dtype=INDEX_DTYPE),
+            da + sign * db)
+
+    def __add__(self, other):
+        if isinstance(other, BsrMatrix):
+            return self._union_add(other, +1.0)
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, BsrMatrix):
+            return self._union_add(other, -1.0)
+        return NotImplemented
+
+    def __mul__(self, other):
+        if np.isscalar(other):
+            return self.with_data(self._data * other)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
     def astype(self, dtype) -> "BsrMatrix":
         """Cast block storage (e.g. ``jnp.bfloat16`` to halve HBM value
         traffic — the streaming kernel accumulates in f32 regardless, so
