@@ -123,6 +123,23 @@ def ilu0(csr) -> Ilu0Precond:
     n = csr.nrows
     ptr, ind, val = _csr_host(csr)
 
+    from ..native import lib as native
+
+    if native.available():
+        new_val, bad = native.ilu0_values(ptr, ind, val, n)
+        if bad >= 0:
+            # distinguish missing-diagonal from zero pivot for the message
+            has_diag = np.any(ind[ptr[bad]: ptr[bad + 1]] == bad)
+            raise StructureError(
+                f"ilu0 zero pivot at row {bad}" if has_diag
+                else "ilu0 needs every diagonal entry present")
+        val = new_val.astype(val.dtype, copy=False)
+        l_mat, u_mat = _split_lu(n, ptr, ind, val, csr.values.dtype)
+        return Ilu0Precond(
+            n=n, l_mat=l_mat, u_mat=u_mat,
+            l_plan=plan_triangular(l_mat, lower=True, unit_diag=True),
+            u_plan=plan_triangular(u_mat, lower=False))
+
     diag_pos = np.full(n, -1, dtype=np.int64)
     for i in range(n):
         for k in range(int(ptr[i]), int(ptr[i + 1])):
@@ -185,6 +202,20 @@ def ic0(csr) -> Ilu0Precond:
     np.add.at(lptr, lr + 1, 1)
     np.cumsum(lptr, out=lptr)
 
+    from ..native import lib as native
+
+    if native.available():
+        new_lv, bad = native.ic0_values(lptr, lc, lv, n)
+        if bad >= 0:
+            hi = int(lptr[bad + 1])
+            has_diag = hi > int(lptr[bad]) and int(lc[hi - 1]) == bad
+            raise StructureError(
+                f"ic0 non-positive pivot at row {bad} (matrix not SPD "
+                f"under zero fill)" if has_diag
+                else "ic0 needs every diagonal entry present")
+        return _ic0_wrap(csr, n, lptr, lc,
+                         new_lv.astype(lv.dtype, copy=False))
+
     colmap = [dict() for _ in range(n)]
     for k in range(lc.size):
         colmap[int(lr[k])][int(lc[k])] = k
@@ -215,6 +246,10 @@ def ic0(csr) -> Ilu0Precond:
                         f"(matrix not SPD under zero fill)")
                 lv[kk] = np.sqrt(s)
 
+    return _ic0_wrap(csr, n, lptr, lc, lv)
+
+
+def _ic0_wrap(csr, n, lptr, lc, lv) -> Ilu0Precond:
     from ..formats.compressed import CsrMatrix
 
     dtype = csr.values.dtype

@@ -85,6 +85,10 @@ def get() -> Optional[ctypes.CDLL]:
         ]
         lib.spal_amd.restype = None
         lib.spal_amd.argtypes = [_I64, _I64, ctypes.c_int64, _I64]
+        lib.spal_ilu0.restype = ctypes.c_int64
+        lib.spal_ilu0.argtypes = [_I64, _I64, _F64, ctypes.c_int64]
+        lib.spal_ic0.restype = ctypes.c_int64
+        lib.spal_ic0.argtypes = [_I64, _I64, _F64, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -218,3 +222,25 @@ def route_color(panel_ptr, g, f, sh):
     ok = np.zeros(max(g.size, 1), dtype=np.uint8)
     lib.spal_route_color(panel_ptr, panel_ptr.size - 1, g, f, sh, m, ok)
     return m[: g.size].astype(np.int64), ok[: g.size].astype(bool)
+
+
+def ilu0_values(ptr, ind, values, n):
+    """In-place-style ILU(0) numeric sweep; returns (values, bad_row)."""
+    lib = get()
+    assert lib is not None
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    values = np.array(values, dtype=np.float64, copy=True, order="C")
+    bad = int(lib.spal_ilu0(ptr, ind, values, int(n)))
+    return values, bad
+
+
+def ic0_values(lptr, lind, lvalues, n):
+    """IC(0) numeric sweep on the lower pattern; (values, bad_row)."""
+    lib = get()
+    assert lib is not None
+    lptr = np.ascontiguousarray(lptr, dtype=np.int64)
+    lind = np.ascontiguousarray(lind, dtype=np.int64)
+    lvalues = np.array(lvalues, dtype=np.float64, copy=True, order="C")
+    bad = int(lib.spal_ic0(lptr, lind, lvalues, int(n)))
+    return lvalues, bad

@@ -10,6 +10,7 @@
 // Index type: int64 throughout (host side; device uses int32).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -555,6 +556,81 @@ void spal_amd(const int64_t* ptr, const int64_t* ind, int64_t n,
       if (d < cur) cur = d;
     }
   }
+}
+
+// ---------------------------------------------------------------------
+// ILU(0): incomplete LU restricted to the pattern, in-place on `val`
+// (CSR with sorted column indices). IKJ sweep (Saad Alg. 10.4) with a
+// per-row column->slot map. Returns -1 on success, else the row of the
+// first zero pivot / missing diagonal.
+// ---------------------------------------------------------------------
+int64_t spal_ilu0(const int64_t* ptr, const int64_t* ind, double* val,
+                  int64_t n) {
+  std::vector<int64_t> diag(n, -1), pos(n, -1);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t k = ptr[i]; k < ptr[i + 1]; ++k)
+      if (ind[k] == i) diag[i] = k;
+  for (int64_t i = 0; i < n; ++i)
+    if (diag[i] < 0) return i;
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = ptr[i], hi = ptr[i + 1];
+    for (int64_t k = lo; k < hi; ++k) pos[ind[k]] = k;
+    for (int64_t kk = lo; kk < hi; ++kk) {
+      const int64_t k = ind[kk];
+      if (k >= i) break;  // columns sorted
+      const double piv = val[diag[k]];
+      if (piv == 0.0) { for (int64_t q = lo; q < hi; ++q) pos[ind[q]] = -1;
+                        return k; }
+      const double lik = val[kk] / piv;
+      val[kk] = lik;
+      for (int64_t jj = diag[k] + 1; jj < ptr[k + 1]; ++jj) {
+        const int64_t p = pos[ind[jj]];
+        if (p >= 0) val[p] -= lik * val[jj];
+      }
+    }
+    for (int64_t k = lo; k < hi; ++k) pos[ind[k]] = -1;
+    if (val[diag[i]] == 0.0) return i;
+  }
+  return -1;
+}
+
+// ---------------------------------------------------------------------
+// IC(0): incomplete Cholesky on the LOWER pattern (lptr/lind/lval CSR of
+// the lower triangle incl. diagonal, columns sorted so the diagonal is
+// each row's last entry). In-place on lval. Returns -1 on success, else
+// the row whose pivot went non-positive (not SPD under zero fill) or
+// whose diagonal is missing.
+// ---------------------------------------------------------------------
+int64_t spal_ic0(const int64_t* lptr, const int64_t* lind, double* lval,
+                 int64_t n) {
+  std::vector<int64_t> pos(n, -1), dpos(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (lptr[i + 1] <= lptr[i] || lind[lptr[i + 1] - 1] != i) return i;
+    dpos[i] = lptr[i + 1] - 1;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = lptr[i], hi = lptr[i + 1];
+    for (int64_t k = lo; k < hi; ++k) pos[lind[k]] = k;
+    for (int64_t kk = lo; kk < hi; ++kk) {
+      const int64_t j = lind[kk];
+      double s = lval[kk];
+      // s -= sum over shared columns col < j of L[i,col] * L[j,col]
+      for (int64_t jj = lptr[j]; jj < dpos[j]; ++jj) {
+        const int64_t p = pos[lind[jj]];
+        if (p >= 0 && lind[jj] < j) s -= lval[p] * lval[jj];
+      }
+      if (j < i) {
+        lval[kk] = s / lval[dpos[j]];
+      } else {  // diagonal (last entry)
+        if (s <= 0.0) { for (int64_t q = lo; q < hi; ++q) pos[lind[q]] = -1;
+                        return i; }
+        lval[kk] = std::sqrt(s);
+      }
+    }
+    for (int64_t k = lo; k < hi; ++k) pos[lind[k]] = -1;
+  }
+  return -1;
 }
 
 }  // extern "C"

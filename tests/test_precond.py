@@ -208,3 +208,46 @@ class TestChebyshev:
             chebyshev(A, degree=0)
         with pytest.raises(ValueError):
             chebyshev(A, lmin=5.0, lmax=1.0)
+
+
+class TestNativeParity:
+    """Native C++ ilu0/ic0 sweeps vs the pure-Python reference path."""
+
+    def test_ilu0_native_matches_python(self, rng):
+        from spalinalg_tpu.native import lib as native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        A = _nonsym(rng, 48)
+        import spalinalg_tpu.linalg.precond as P
+
+        ref = ilu0(A)                 # native path
+        orig = native.available
+        native.available = lambda: False
+        try:
+            py = ilu0(A)              # python path
+        finally:
+            native.available = orig
+        np.testing.assert_allclose(np.asarray(ref.l_mat.to_dense()),
+                                   np.asarray(py.l_mat.to_dense()),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ref.u_mat.to_dense()),
+                                   np.asarray(py.u_mat.to_dense()),
+                                   atol=1e-12)
+
+    def test_ic0_native_matches_python(self, rng):
+        from spalinalg_tpu.native import lib as native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        A = _laplacian_2d(8)
+        ref = ic0(A)
+        orig = native.available
+        native.available = lambda: False
+        try:
+            py = ic0(A)
+        finally:
+            native.available = orig
+        np.testing.assert_allclose(np.asarray(ref.l_mat.to_dense()),
+                                   np.asarray(py.l_mat.to_dense()),
+                                   atol=1e-12)
