@@ -153,6 +153,27 @@ def bench_bsr_banded_bf16(on_tpu: bool):
     return nnz, per
 
 
+def bench_dia_banded(on_tpu: bool):
+    """Tridiagonal DIA SpMV — index-free streaming (no kernel needed)."""
+    import jax.numpy as jnp
+
+    from spalinalg_tpu import DiaMatrix
+
+    n = 1 << 21 if on_tpu else 1 << 14
+    rng = np.random.default_rng(0)
+    diags = [rng.normal(size=n).astype(np.float32) for _ in range(3)]
+    dia = DiaMatrix.from_diagonals(diags, [-1, 0, 1], n,
+                                   dtype=np.float32)
+    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    nnz = dia.nnz
+    if on_tpu:
+        per = _loop_rate(lambda v: dia @ v, x0, nnz)
+    else:
+        per = _loop_rate(lambda v: dia @ v, x0, nnz, k_lo=1, k_hi=3,
+                         reps=1)
+    return nnz, per
+
+
 def bench_csr_random(on_tpu: bool):
     """Unstructured CSR SpMV via the bucketed-gather plan (secondary)."""
     import jax.numpy as jnp
@@ -339,6 +360,21 @@ def main() -> None:
         )
     except Exception as e:
         print(f"[bench] bsr_bf16 failed: {e}", file=sys.stderr)
+
+    try:
+        nnz_d, per_d = bench_dia_banded(on_tpu)
+        dia_rate = nnz_d / per_d
+        dia_roof = hbm / 4.0     # value traffic only, like BSR
+        secondary["dia_banded_spmv_nnz_per_s"] = round(dia_rate, 1)
+        secondary["dia_roofline_frac"] = round(dia_rate / dia_roof, 4)
+        print(
+            f"[bench] dia_banded nnz={nnz_d} {per_d*1e3:.3f} ms/spmv -> "
+            f"{dia_rate/1e9:.2f} Gnnz/s ({100*dia_rate/dia_roof:.1f}% of "
+            f"{dia_roof/1e9:.0f} Gnnz/s roofline)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] dia_banded failed: {e}", file=sys.stderr)
 
     try:
         nnz_c, per_c = bench_csr_random(on_tpu)

@@ -39,6 +39,7 @@ from .formats.dok import DokMatrix  # noqa: E402
 from .formats.compressed import CscMatrix, CsrMatrix  # noqa: E402
 from .formats.bsr import BsrMatrix  # noqa: E402
 from .formats.device import DeviceCoo  # noqa: E402
+from .formats.dia import DiaMatrix  # noqa: E402
 from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: E402
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
 from .ops.structure import bmat, block_diag, hstack, kron, vstack  # noqa: E402
@@ -52,6 +53,7 @@ from . import utils  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
+    "DiaMatrix",
     "kron", "hstack", "vstack", "block_diag", "bmat",
     "diags", "sprandom",
     "mat_sum", "mat_mean", "diagonal", "multiply", "norm",

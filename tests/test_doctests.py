@@ -16,6 +16,7 @@ MODULE_NAMES = [
     "spalinalg_tpu.formats.compressed",
     "spalinalg_tpu.formats.coo",
     "spalinalg_tpu.formats.device",
+    "spalinalg_tpu.formats.dia",
     "spalinalg_tpu.formats.dok",
     "spalinalg_tpu.io.checkpoint",
     "spalinalg_tpu.io.jax_interop",
