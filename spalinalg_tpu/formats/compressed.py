@@ -44,6 +44,10 @@ def _is_concrete(*arrays) -> bool:
     return not any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
+_TRANSPOSE_CACHE: dict = {}
+_TRANSPOSE_CACHE_MAX = 32
+
+
 class _CompressedMatrix:
     """Shared implementation of CSR/CSC. ``_MAJOR_AXIS`` = 0 for CSR (rows
     compressed), 1 for CSC (columns compressed)."""
@@ -287,8 +291,24 @@ class _CompressedMatrix:
     def transpose(self):
         """Transpose via the device sort engine (replaces the reference's
         2-pass counting sort, csr.rs:358-406). CSR.T -> CSR of the
-        transposed matrix (same class, like the reference)."""
+        transposed matrix (same class, like the reference).
+
+        Memoised per concrete structure+values (id-keyed, like the CSC
+        mirror cache) so repeated ``A.T @ x`` reuses the result AND its
+        downstream SpMV plans instead of rebuilding per call."""
+        import jax as _jax
+
         from ..convert.engine import transpose_compressed_device
+
+        concrete = not any(
+            isinstance(a, _jax.core.Tracer)
+            for a in (self._ptr, self._minor, self._values))
+        key = (type(self), id(self._ptr), id(self._minor),
+               id(self._values), self._nrows, self._ncols)
+        if concrete:
+            hit = _TRANSPOSE_CACHE.get(key)
+            if hit is not None:
+                return hit[1]
 
         n_major = self._major_dim(self._nrows, self._ncols)
         n_minor = self._minor_dim(self._nrows, self._ncols)
@@ -296,7 +316,15 @@ class _CompressedMatrix:
             self._ptr, self._minor, self._values,
             n_major=n_major, n_minor=n_minor,
         )
-        return type(self)._from_parts(self._ncols, self._nrows, ptr, minor, values)
+        out = type(self)._from_parts(self._ncols, self._nrows, ptr, minor,
+                                     values)
+        if concrete:
+            if len(_TRANSPOSE_CACHE) >= _TRANSPOSE_CACHE_MAX:
+                _TRANSPOSE_CACHE.pop(next(iter(_TRANSPOSE_CACHE)))
+            # hold operand refs so the keying ids stay valid while cached
+            _TRANSPOSE_CACHE[key] = (
+                (self._ptr, self._minor, self._values), out)
+        return out
 
     @property
     def T(self):

@@ -73,6 +73,7 @@ class QrFactor:
     n: int
     a: object                                # CsrMatrix (or format peer)
     chol: Optional[CholeskyFactor]           # RᵀR = AᵀA  (sparse path)
+    at: Optional[object] = None              # cached Aᵀ (plan reuse)
     gram: Optional[object] = None            # sparse AᵀA
     dense_q: Optional[jax.Array] = None      # dense fallback factors
     dense_r: Optional[jax.Array] = None
@@ -105,8 +106,9 @@ def qr(a, *, method: str = "auto", dense_threshold: int = 1024) -> QrFactor:
     if method == "dense" or (method == "auto" and n <= dense_threshold):
         q, r = jnp.linalg.qr(a.to_dense(), mode="reduced")
         return QrFactor(m=m, n=n, a=a, chol=None, dense_q=q, dense_r=r)
-    gram = a.transpose() * a                 # SpGEMM tier (ops/spgemm.py)
-    return QrFactor(m=m, n=n, a=a, chol=cholesky(gram), gram=gram)
+    at = a.transpose()
+    gram = at * a                            # SpGEMM tier (ops/spgemm.py)
+    return QrFactor(m=m, n=n, a=a, chol=cholesky(gram), at=at, gram=gram)
 
 
 def _chol_solve(fac: CholeskyFactor, b) -> jax.Array:
@@ -137,7 +139,7 @@ def qr_qt_apply(fac: QrFactor, b) -> jax.Array:
     b = jnp.asarray(b)
     if fac.is_dense:
         return fac.dense_q.T @ b
-    x = _chol_solve(fac.chol, fac.a.transpose() @ b)
+    x = _chol_solve(fac.chol, fac.at @ b)
     return qr_r_dense(fac) @ x
 
 
@@ -164,7 +166,7 @@ def qr_solve(fac: QrFactor, b, *, refine: int = 1) -> jax.Array:
         from jax.scipy.linalg import solve_triangular
 
         return solve_triangular(fac.dense_r, fac.dense_q.T @ b, lower=False)
-    at = fac.a.transpose()
+    at = fac.at
     x = _chol_solve(fac.chol, at @ b)
     for _ in range(max(0, refine)):
         resid = b - fac.a @ x
