@@ -2,7 +2,7 @@
 
 from .cg import CgResult, cg
 from .funm import arnoldi, expm_multiply
-from .eigen import block_lanczos, eigsh, lanczos, svds
+from .eigen import block_lanczos, eigsh, lanczos, lobpcg, svds
 from .cholesky import CholeskyFactor, cholesky, cholesky_solve, permute_csr
 from .lu import LuFactor, lu, lu_solve
 from .iterative import IterResult, bicgstab, gmres
@@ -30,7 +30,7 @@ from .banded import (
 
 __all__ = [
     "cg", "CgResult", "gmres", "bicgstab", "IterResult",
-    "eigsh", "svds", "lanczos", "block_lanczos",
+    "eigsh", "svds", "lanczos", "block_lanczos", "lobpcg",
     "ilu0", "ic0", "Ilu0Precond", "chebyshev", "ChebyshevPrecond",
     "expm_multiply", "arnoldi",
     "cholesky", "cholesky_solve", "CholeskyFactor", "permute_csr",

@@ -213,3 +213,82 @@ class TestShiftInvert:
         ref = ew[np.argsort(np.abs(ew - sigma))[:3]]
         np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(ref),
                                    atol=1e-7)
+
+
+class TestLobpcg:
+    """LOBPCG (`linalg/eigen.py::lobpcg`). Oracle: dense numpy / analytic."""
+
+    def _grid_laplacian(self, g):
+        n = g * g
+        ent = []
+        for i in range(g):
+            for j in range(g):
+                kk = i * g + j
+                ent.append((kk, kk, 4.0))
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    a, b2 = i + di, j + dj
+                    if 0 <= a < g and 0 <= b2 < g:
+                        ent.append((kk, a * g + b2, -1.0))
+        return CsrMatrix.from_coo(CooMatrix.with_entries(n, n, ent))
+
+    def test_smallest_cluster_2d_laplacian(self, rng):
+        """Finds the smallest modes *including* the multiplicity-2 pair."""
+        from spalinalg_tpu.linalg import lobpcg
+
+        g = 12
+        A = self._grid_laplacian(g)
+        lam = lambda p, q: (4 - 2 * np.cos(p * np.pi / (g + 1))
+                            - 2 * np.cos(q * np.pi / (g + 1)))
+        ref = np.sort([lam(p, q) for p in range(1, 4)
+                       for q in range(1, 4)])[:4]
+        w, X, resid = lobpcg(A, k=4, maxiter=80, seed=3)
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-5)
+        assert np.all(np.asarray(resid) < 1e-3)
+        Xn = np.asarray(X)
+        np.testing.assert_allclose(Xn.T @ Xn, np.eye(4), atol=1e-5)
+
+    def test_largest(self, rng):
+        from spalinalg_tpu.linalg import lobpcg
+
+        A, d = _sym(rng, 96, shift=0.0)
+        w, X, _ = lobpcg(A, k=3, which="LA", maxiter=80, seed=5)
+        ref = np.linalg.eigvalsh(d)[-3:]
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-5)
+
+    def test_preconditioned_converges_faster(self, rng):
+        """IC(0) preconditioning reduces the residual at equal maxiter."""
+        from spalinalg_tpu.linalg import ic0, lobpcg
+
+        A = self._grid_laplacian(14)
+        M = ic0(A)
+        w_p, _, r_p = lobpcg(A, k=2, maxiter=15, M=M, seed=2)
+        w_u, _, r_u = lobpcg(A, k=2, maxiter=15, seed=2)
+        assert float(np.max(np.asarray(r_p))) < float(np.max(np.asarray(r_u)))
+
+    def test_callable_preconditioner_and_x0(self, rng):
+        from spalinalg_tpu.linalg import lobpcg
+
+        A, d = _sym(rng, 60, shift=8.0)   # SPD-ish via diagonal shift
+        diag = np.asarray([d[i, i] for i in range(60)])
+        M = lambda r: r / jnp.asarray(diag, r.dtype)
+        X0 = rng.normal(size=(60, 2)).astype(np.float32)
+        w, X, _ = lobpcg(A, X0=X0, which="SA", maxiter=80, M=M)
+        ref = np.linalg.eigvalsh(d)[:2]
+        np.testing.assert_allclose(np.asarray(w), ref, atol=1e-4)
+
+    def test_validation(self, rng):
+        from spalinalg_tpu.linalg import lobpcg
+
+        A, _ = _sym(rng, 30)
+        with pytest.raises(ValueError):
+            lobpcg(A)                      # neither X0 nor k
+        with pytest.raises(ValueError):
+            lobpcg(A, k=11)                # 3k > n
+        with pytest.raises(ValueError):
+            lobpcg(A, k=2, which="SM")
+        with pytest.raises(TypeError):
+            lobpcg(A, k=2, M=3.0)
+        rect = CsrMatrix.from_coo(
+            CooMatrix.with_entries(4, 5, [(0, 0, 1.0)]))
+        with pytest.raises(ShapeError):
+            lobpcg(rect, k=1)
