@@ -37,7 +37,10 @@ __all__ = ["bsr_matvec_stream", "bsr_matmat_stream"]
 # logic and the post-kernel row mask.
 # ----------------------------------------------------------------------
 
-_V3_GROUP = 32            # blocks per grid step (712 GB/s on v5e at 32)
+# blocks per grid step. Measured on v5e (tools/tpu_tuning_results.jsonl):
+# G=16 -> 192.5 Gnnz/s (770 GB/s, 94% of roofline) vs G=32 -> ~178 Gnnz/s.
+# Smaller windows double-buffer better at this block count.
+_V3_GROUP = 16
 _V3_VMEM_BYTES = 4 << 20  # x / y single-buffer budget each
 
 
