@@ -301,6 +301,13 @@ def lobpcg(A, X0=None, k: Optional[int] = None, *, which: str = "SA",
     Unlike single-vector Lanczos (see the :func:`eigsh` caveat), a block
     of size ``k`` resolves eigenvalue clusters of multiplicity ≤ k.
 
+    ``A`` may be a row-partitioned
+    :class:`~spalinalg_tpu.parallel.partition.DistCsr`: the block then
+    lives as padded sharded columns (pad rows provably stay zero through
+    the iteration) and each step's SpMM runs the distributed halo /
+    all-gather path; ``M`` must then be sharding-aware (e.g.
+    :func:`~spalinalg_tpu.linalg.chebyshev`).
+
     Examples
     --------
     >>> import numpy as np
@@ -324,6 +331,9 @@ def lobpcg(A, X0=None, k: Optional[int] = None, *, which: str = "SA",
 
         raise ShapeError(f"lobpcg needs a square operator, got {A.shape}")
     dt = jnp.float64 if _wants_x64(A) else jnp.float32
+    from ..parallel.partition import DistCsr
+
+    is_dist = isinstance(A, DistCsr)
     if X0 is None:
         if k is None:
             raise ValueError("lobpcg needs X0 or k")
@@ -336,10 +346,25 @@ def lobpcg(A, X0=None, k: Optional[int] = None, *, which: str = "SA",
         raise ValueError(
             f"lobpcg needs n ≥ 3k for its trial space, got n={n}, k={k} "
             "(use eigsh or a dense eigh at this size)")
+    if is_dist:
+        # Padded sharded operand blocks: pad rows start zero and every
+        # iteration step preserves them (SpMM sentinel padding, residual
+        # algebra, and QR of a full-column-rank block with zero rows all
+        # keep those rows zero), so the padded operator's spurious zero
+        # modes are never entered and the Ritz values are exact — the
+        # same invariant :func:`lanczos` relies on for DistCsr.
+        from ..parallel.spmv import shard_vector
+
+        X0 = jnp.stack([shard_vector(X0[:, j], A) for j in range(k)],
+                       axis=1)
 
     if M is None:
         psolve = None
     elif hasattr(M, "solve"):
+        if is_dist and not getattr(M, "supports_dist", False):
+            raise ValueError(
+                "this preconditioner is single-chip; use a sharding-aware "
+                "one (e.g. chebyshev) with DistCsr operands")
         psolve = M.solve
     elif callable(M):
         psolve = M
@@ -360,6 +385,11 @@ def lobpcg(A, X0=None, k: Optional[int] = None, *, which: str = "SA",
     # harmless (Rayleigh-Ritz ignores them) and are replaced after one
     # step by true conjugate directions.
     P0 = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, k), dtype=dt)
+    if is_dist:
+        from ..parallel.spmv import shard_vector
+
+        P0 = jnp.stack([shard_vector(P0[:, j], A) for j in range(k)],
+                       axis=1)
     P, _ = jnp.linalg.qr(P0 - X @ (X.T @ P0), mode="reduced")
 
     lo = 0 if which == "SA" else 2 * k

@@ -292,3 +292,31 @@ class TestLobpcg:
             CooMatrix.with_entries(4, 5, [(0, 0, 1.0)]))
         with pytest.raises(ShapeError):
             lobpcg(rect, k=1)
+
+    def test_dist_parity(self, rng):
+        """lobpcg on a DistCsr matches the single-chip result."""
+        from spalinalg_tpu.linalg import lobpcg
+        from spalinalg_tpu.parallel.partition import (make_row_mesh,
+                                                      partition_csr)
+
+        A = self._grid_laplacian(12)
+        mesh = make_row_mesh(8)
+        dA = partition_csr(A, mesh)
+        w1, _, _ = lobpcg(A, k=3, maxiter=50, seed=4)
+        w8, X8, r8 = lobpcg(dA, k=3, maxiter=50, seed=4)
+        np.testing.assert_allclose(np.asarray(w8), np.asarray(w1),
+                                   atol=1e-6)
+        assert np.all(np.asarray(r8) < 1e-3)
+        # pad rows of the sharded Ritz block stay exactly zero
+        n = A.shape[0]
+        assert np.all(np.asarray(X8)[n:] == 0.0)
+
+    def test_dist_rejects_single_chip_preconditioner(self, rng):
+        from spalinalg_tpu.linalg import ic0, lobpcg
+        from spalinalg_tpu.parallel.partition import (make_row_mesh,
+                                                      partition_csr)
+
+        A = self._grid_laplacian(8)
+        dA = partition_csr(A, make_row_mesh(8))
+        with pytest.raises(ValueError):
+            lobpcg(dA, k=2, M=ic0(A))
