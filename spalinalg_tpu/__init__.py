@@ -42,7 +42,8 @@ from .formats.device import DeviceCoo  # noqa: E402
 from .formats.dia import DiaMatrix  # noqa: E402
 from .ops.matvec import csr_matvec, csr_matmat, csc_matvec, csc_matmat  # noqa: E402
 from .ops.spgemm import spgemm, spgemm_plan, spgemm_apply, SpgemmPlan  # noqa: E402
-from .ops.structure import bmat, block_diag, hstack, kron, vstack  # noqa: E402
+from .ops.structure import (bmat, block_diag, hstack, kron,  # noqa: E402
+                            tril, triu, vstack)
 from .ops.construct import diags, sprandom  # noqa: E402
 from .ops.reduce_api import diagonal, mat_mean, mat_sum, multiply, norm  # noqa: E402
 from .ops.indexing import getcol, getrow, row_slice, select_cols, select_rows, submatrix  # noqa: E402
@@ -54,7 +55,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DiaMatrix",
-    "kron", "hstack", "vstack", "block_diag", "bmat",
+    "kron", "hstack", "vstack", "block_diag", "bmat", "tril", "triu",
     "diags", "sprandom",
     "mat_sum", "mat_mean", "diagonal", "multiply", "norm",
     "row_slice", "select_rows", "select_cols", "submatrix", "getrow", "getcol",

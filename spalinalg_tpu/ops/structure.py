@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..dtypes import INDEX_DTYPE
 from ..errors import ShapeError
 
-__all__ = ["kron", "hstack", "vstack", "block_diag", "bmat"]
+__all__ = ["kron", "hstack", "vstack", "block_diag", "bmat", "tril", "triu"]
 
 
 def _coo_view(mat):
@@ -201,3 +201,41 @@ def bmat(blocks):
     return _build_csr(int(rowoff[-1]), int(coloff[-1]),
                       np.concatenate(rows_l), np.concatenate(cols_l),
                       np.concatenate(vals_l))
+
+
+def tril(mat, k: int = 0):
+    """Lower triangle: entries with ``col <= row + k`` (CSR output).
+
+    `scipy.sparse.tril` semantics. A vectorised structural filter on the
+    host COO view — one boolean mask, one conversion-engine pass. COO
+    duplicate triplets are dedup-summed so the CSR invariants hold.
+
+    >>> from spalinalg_tpu import CsrMatrix
+    >>> from spalinalg_tpu.ops.structure import tril
+    >>> a = CsrMatrix(2, 2, [0, 2, 4], [0, 1, 0, 1], [1., 2., 3., 4.])
+    >>> tril(a).to_dense().tolist()
+    [[1.0, 0.0], [3.0, 4.0]]
+    >>> tril(a, k=-1).to_dense().tolist()
+    [[0.0, 0.0], [3.0, 0.0]]
+    """
+    r, c, v = _coo_view(mat)
+    keep = c <= r + int(k)
+    return _build_csr(mat.shape[0], mat.shape[1],
+                      r[keep], c[keep], v[keep], dedup=True)
+
+
+def triu(mat, k: int = 0):
+    """Upper triangle: entries with ``col >= row + k`` (CSR output).
+
+    `scipy.sparse.triu` semantics; see :func:`tril`.
+
+    >>> from spalinalg_tpu import CsrMatrix
+    >>> from spalinalg_tpu.ops.structure import triu
+    >>> a = CsrMatrix(2, 2, [0, 2, 4], [0, 1, 0, 1], [1., 2., 3., 4.])
+    >>> triu(a, k=1).to_dense().tolist()
+    [[0.0, 2.0], [0.0, 0.0]]
+    """
+    r, c, v = _coo_view(mat)
+    keep = c >= r + int(k)
+    return _build_csr(mat.shape[0], mat.shape[1],
+                      r[keep], c[keep], v[keep], dedup=True)

@@ -1,6 +1,8 @@
 """Structural composition ops (`ops/structure.py`). Oracle: scipy.sparse."""
 
 import numpy as np
+
+import jax.numpy as jnp
 import pytest
 import scipy.sparse as sps
 
@@ -169,3 +171,58 @@ class TestMatrixPower:
         b, _ = _rand(rng, 4, 4)
         with pytest.raises(ValueError):
             b ** (-1)
+
+
+class TestTrilTriu:
+    """`tril`/`triu` vs the scipy oracle (all formats, duplicate COO)."""
+
+    def test_matches_scipy(self, rng):
+        import scipy.sparse as sps
+
+        from spalinalg_tpu import CsrMatrix, tril, triu
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+        A = sps.random(17, 23, 0.2, random_state=5).tocsr()
+        A.sort_indices()
+        a = CsrMatrix._from_parts(
+            17, 23,
+            jnp.asarray(A.indptr, dtype=INDEX_DTYPE),
+            jnp.asarray(A.indices, dtype=INDEX_DTYPE),
+            jnp.asarray(A.data))
+        for k in (-3, -1, 0, 1, 4):
+            np.testing.assert_allclose(
+                np.asarray(tril(a, k).to_dense()),
+                sps.tril(A, k).toarray(), atol=0)
+            np.testing.assert_allclose(
+                np.asarray(triu(a, k).to_dense()),
+                sps.triu(A, k).toarray(), atol=0)
+
+    def test_coo_duplicates_dedup_summed(self):
+        from spalinalg_tpu import CooMatrix, tril
+
+        coo = CooMatrix.with_entries(
+            2, 2, [(1, 0, 1.5), (1, 0, 2.5), (0, 1, 9.0)])
+        t = tril(coo)
+        assert t.nnz == 1
+        np.testing.assert_allclose(
+            np.asarray(t.to_dense()), [[0.0, 0.0], [4.0, 0.0]])
+
+    def test_split_reassembles(self, rng):
+        """tril(A,-1) + diagonal + triu(A,1) == A."""
+        import scipy.sparse as sps
+
+        from spalinalg_tpu import CsrMatrix, tril, triu
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+        from spalinalg_tpu.ops.construct import diags
+
+        A = sps.random(20, 20, 0.3, random_state=9).tocsr()
+        A.sort_indices()
+        a = CsrMatrix._from_parts(
+            20, 20,
+            jnp.asarray(A.indptr, dtype=INDEX_DTYPE),
+            jnp.asarray(A.indices, dtype=INDEX_DTYPE),
+            jnp.asarray(A.data))
+        d = diags([np.asarray(A.diagonal())], offsets=[0], shape=(20, 20))
+        back = tril(a, -1) + d + triu(a, 1)
+        np.testing.assert_allclose(np.asarray(back.to_dense()),
+                                   A.toarray(), atol=1e-12)
