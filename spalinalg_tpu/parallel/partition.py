@@ -115,6 +115,26 @@ class DistCsr:
             return dist_spmm(self, other)
         return dist_spmv(self, other)
 
+    def __mul__(self, other):
+        """Sparse·sparse product with another ``DistCsr`` (setup-class).
+
+        Like :meth:`transpose`, this runs the host re-partition path:
+        gather both operands, run the single-chip SpGEMM plan, partition
+        the product on the same mesh. Structure-changing ops are
+        per-structure setup work in this design (the output sparsity is
+        data-dependent and can't stay shard-static); the hot per-step
+        ops (``@`` SpMV/SpMM) never leave the device mesh.
+        """
+        if not isinstance(other, DistCsr):
+            return NotImplemented
+        if self.ncols != other.nrows:
+            from ..errors import ShapeError
+
+            raise ShapeError(
+                f"matmul dim mismatch {self.shape} x {other.shape}")
+        return partition_csr(self.to_csr() * other.to_csr(), self.mesh,
+                             axis=self.axis)
+
     def to_csr(self):
         """Gather the shards back into one host-side CSR (setup-class
         op — O(nnz) host traffic, not a hot path)."""

@@ -266,3 +266,43 @@ class TestDistTranspose:
         y = unshard_vector(dist_spmv(dist_t, shard_vector(x, dist_t)),
                            dist_t)
         np.testing.assert_allclose(np.asarray(y), d.T @ x, atol=1e-10)
+
+
+class TestDistSpgemm:
+    def test_product_parity(self, rng):
+        """dA * dB == A * B (host re-partition path, setup-class)."""
+        import scipy.sparse as sps
+
+        from spalinalg_tpu import CsrMatrix
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+        from spalinalg_tpu.parallel.partition import (make_row_mesh,
+                                                      partition_csr)
+
+        A = sps.random(60, 40, 0.1, random_state=3).tocsr()
+        B = sps.random(40, 52, 0.1, random_state=4).tocsr()
+        A.sort_indices(); B.sort_indices()
+
+        def mk(S):
+            return CsrMatrix._from_parts(
+                S.shape[0], S.shape[1],
+                jnp.asarray(S.indptr, dtype=INDEX_DTYPE),
+                jnp.asarray(S.indices, dtype=INDEX_DTYPE),
+                jnp.asarray(S.data))
+
+        mesh = make_row_mesh(8)
+        dP = partition_csr(mk(A), mesh) * partition_csr(mk(B), mesh)
+        np.testing.assert_allclose(
+            np.asarray(dP.to_csr().to_dense()), (A @ B).toarray(),
+            atol=1e-12)
+
+    def test_shape_mismatch(self, rng):
+        from spalinalg_tpu import CsrMatrix
+        from spalinalg_tpu.errors import ShapeError
+        from spalinalg_tpu.parallel.partition import (make_row_mesh,
+                                                      partition_csr)
+
+        mesh = make_row_mesh(8)
+        a = partition_csr(CsrMatrix.eye(10), mesh)
+        b = partition_csr(CsrMatrix.eye(12), mesh)
+        with pytest.raises(ShapeError):
+            a * b
