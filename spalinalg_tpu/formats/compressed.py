@@ -253,6 +253,22 @@ class _CompressedMatrix:
             self._nrows, self._ncols, self._ptr, self._minor, values
         )
 
+    def astype(self, dtype) -> "_CompressedMatrix":
+        """Cast stored values to ``dtype`` (same structure).
+
+        The dtype must stay inside the supported scalar set (f32/f64 +
+        the bf16 storage extension — `dtypes.py`); DTypeError otherwise,
+        mirroring the constructors.
+
+        >>> from spalinalg_tpu import CsrMatrix
+        >>> CsrMatrix.eye(2).astype("float32").dtype.name
+        'float32'
+        """
+        from ..dtypes import canonical_value_dtype
+
+        dtype = canonical_value_dtype(dtype)
+        return self.with_values(self._values.astype(dtype))
+
     def map_values(self, fn) -> "_CompressedMatrix":
         """Apply ``fn`` elementwise to stored values.
 

@@ -4,6 +4,8 @@ the eight constructor validation panics, accessors, transpose."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from spalinalg_tpu import CscMatrix, CsrMatrix, ShapeError, StructureError
 
 
@@ -176,3 +178,22 @@ class TestCsc:
         np.testing.assert_array_equal(
             np.asarray(t.to_dense()), np.asarray(m.to_dense()).T
         )
+
+
+class TestAstype:
+    def test_cast_roundtrip(self):
+        a = CsrMatrix.eye(3)                     # f64
+        b = a.astype("float32")
+        assert b.dtype.name == "float32"
+        assert a.dtype.name == "float64"         # original untouched
+        np.testing.assert_array_equal(np.asarray(b.to_dense()), np.eye(3))
+        c = b.astype(jnp.bfloat16)
+        assert c.dtype.name == "bfloat16"
+
+    def test_rejects_outside_scalar_set(self):
+        from spalinalg_tpu.errors import DTypeError
+
+        with pytest.raises(DTypeError):
+            CsrMatrix.eye(3).astype("int32")
+        with pytest.raises(DTypeError):
+            CsrMatrix.eye(3).astype("float16")
