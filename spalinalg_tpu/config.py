@@ -38,6 +38,10 @@ class Config:
     min_bucket_width: int = 4
     # Use Pallas kernels where available (False -> pure-XLA gather pipelines).
     use_pallas: bool = True
+    # BSR stream-kernel grid window (blocks per grid step); None -> the
+    # measured per-generation default in ops.kernels.bsr_stream._V3_GROUP
+    # (16 on v5e: 192.5 Gnnz/s vs ~178 at 32 — tools/tpu_tuning_results).
+    bsr_stream_group: int | None = None
     # Numerical tolerance for parity checks against the CPU oracle.
     rtol_f32: float = 1e-5
     rtol_f64: float = 1e-12

@@ -42,6 +42,7 @@ __all__ = ["bsr_matvec_stream", "bsr_matmat_stream"]
 # Smaller windows double-buffer better at this block count.
 _V3_GROUP = 16
 _V3_VMEM_BYTES = 4 << 20  # x / y single-buffer budget each
+_LAST_V3_GROUP = None     # observability: group chosen by the last call
 
 
 def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
@@ -133,9 +134,16 @@ def stream_v3_arrays(row_of_block, col_of_block, data, x2, *, nbr,
 def _stream_call_v3(indptr, indices, data, x, *, interpret, group=None):
     import numpy as np
 
+    if group is None:
+        # tunable per deployment without code edits (Config is jit-static)
+        from ...config import current_config
+
+        group = current_config().bsr_stream_group or _V3_GROUP
     nbr = indptr.shape[0] - 1
     nblocks, br, bc = data.shape
-    G = min(group or _V3_GROUP, nblocks)
+    G = min(group, nblocks)
+    global _LAST_V3_GROUP
+    _LAST_V3_GROUP = G
     npad = -(-nblocks // G) * G
 
     ip = np.asarray(indptr)

@@ -148,3 +148,52 @@ class TestNativeLevelSchedule:
         bounds = np.searchsorted(lev[order], np.arange(nl + 1))
         np.testing.assert_array_equal(b_native, bounds)
         np.testing.assert_array_equal(o_native, order)
+
+
+class TestBsrStreamGroupKnob:
+    def test_group_consulted_and_correct(self, rng):
+        """Config.bsr_stream_group reaches the v3 kernel and the result
+        stays oracle-exact at a non-default window size."""
+        import jax.numpy as jnp
+
+        import spalinalg_tpu.config as cfg_mod
+        import spalinalg_tpu.ops.kernels.bsr_stream as bs
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+        bsz, nbr = 8, 6
+        n = bsz * nbr
+        indptr = [0]
+        indices = []
+        for i in range(nbr):
+            cols = [j for j in (i - 1, i, i + 1) if 0 <= j < nbr]
+            indices.extend(cols)
+            indptr.append(len(indices))
+        data = rng.normal(size=(len(indices), bsz, bsz)).astype(np.float32)
+        x = rng.normal(size=n).astype(np.float32)
+
+        dense = np.zeros((n, n), np.float32)
+        k = 0
+        for i in range(nbr):
+            for j in indices[indptr[i]:indptr[i + 1]]:
+                dense[i*bsz:(i+1)*bsz, j*bsz:(j+1)*bsz] = data[k]
+                k += 1
+
+        base = cfg_mod.current_config()
+        with cfg_mod.use(base.with_(bsr_stream_group=4)):
+            y = bs._stream_call_v3(
+                jnp.asarray(indptr, INDEX_DTYPE),
+                jnp.asarray(indices, INDEX_DTYPE),
+                jnp.asarray(data), jnp.asarray(x),
+                interpret=True).reshape(-1)[:n]
+            assert bs._LAST_V3_GROUP == 4
+        np.testing.assert_allclose(np.asarray(y), dense @ x,
+                                   rtol=1e-5, atol=1e-4)
+        # default path falls back to the measured module constant
+        y2 = bs._stream_call_v3(
+            jnp.asarray(indptr, INDEX_DTYPE),
+            jnp.asarray(indices, INDEX_DTYPE),
+            jnp.asarray(data), jnp.asarray(x),
+            interpret=True).reshape(-1)[:n]
+        assert bs._LAST_V3_GROUP == min(bs._V3_GROUP, len(indices))
+        np.testing.assert_allclose(np.asarray(y2), dense @ x,
+                                   rtol=1e-5, atol=1e-4)
