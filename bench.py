@@ -3,22 +3,30 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N}
 
-Headline: block-banded BSR SpMV through the Pallas kernel — the
-roofline-capable sparse path on TPU (dense-block streaming, no per-element
-indexing). Secondary (stderr): unstructured CSR SpMV through the XLA plan
-path, which is gather-bound on this hardware.
+Headline: block-banded BSR SpMV through the Pallas streaming kernel —
+the roofline-capable sparse path on TPU. Secondary metrics (stderr +
+"secondary" field): bf16 BSR, DIA, unstructured CSR (f32 and f64),
+CSR SpMM, SpGEMM, supernodal Cholesky factor+solve.
 
-Methodology notes (this environment tunnels the TPU through a relay):
-- wall clock per dispatch includes per-execute input shipping, and
-  ``block_until_ready`` can return before remote completion — so the kernel
-  is timed by running K iterations *inside one compiled program* and
-  differencing K1 vs K2 totals (shipping/compile cancels);
-- identical (program, inputs) pairs are served from a result cache — every
-  timed call carries a fresh scalar seed the kernel output depends on.
+Methodology (this environment tunnels the TPU through a relay, and
+BENCH_r02 shipped physically impossible numbers from two-point
+differencing — VERDICT r2 weak #5):
 
-Baseline: the reference publishes no numbers (BASELINE.md); the target is
-70 % of the HBM roofline for the format's minimal traffic. ``vs_baseline``
-= achieved / (0.70 * roofline).
+- K iterations run *inside one compiled program* (fori_loop); totals
+  are taken for THREE loop lengths and the per-iteration time is the
+  median of the three pairwise slopes;
+- a measurement is VALID only if totals are monotone in k and the
+  implied rate is at or below the physical roofline; invalid
+  measurements are retried and, if they stay invalid, reported as
+  ``null`` with a ``"invalid"`` flag — never as a number;
+- every timed call carries a fresh scalar seed (identical (program,
+  inputs) pairs are served from a result cache);
+- every metric carries a ``path`` tag naming the dispatch branch that
+  actually ran (VERDICT r2 weak #4: an unattributable regression).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the target
+is 70 % of the HBM roofline for the format's minimal traffic.
+``vs_baseline`` = achieved / (0.70 * roofline).
 """
 
 from __future__ import annotations
@@ -46,51 +54,92 @@ def _hbm() -> float:
     return _HBM_GBPS["v5e"] * 1e9
 
 
-def _loop_rate(matvec, x0, n_elems, *, k_lo=33, k_hi=129, reps=3):
-    """On-device seconds/iteration of ``x -> normalize(matvec(x))``.
+def _measure(body, x0, *, ks, reps=3, max_rate=None, tries=3,
+             readback=None):
+    """Robust per-iteration seconds of ``x -> normalize(body(x))``.
 
-    Differences the totals of two loop lengths well above the dispatch
-    floor (k=1 baselines proved noisy through the relay: shipping and
-    grant overheads don't cancel cleanly at single-iteration scale)."""
+    Returns ``(per_iter_seconds_or_None, diag)``; ``per`` is None when
+    the measurement stayed invalid after ``tries`` attempts."""
     import jax
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("k",))
     def loop(x, k):
-        def body(i, xc):
-            y = matvec(xc)
-            return y / (jnp.max(jnp.abs(y)) + 1.0)
-        return jax.lax.fori_loop(0, k, body, x)
+        def it(i, xc):
+            y = body(xc)
+            return (y / (jnp.max(jnp.abs(y)) + 1.0)).astype(xc.dtype)
+        return jax.lax.fori_loop(0, k, it, x)
 
-    def timed(k):
-        best = None
-        xs = x0 * np.float32(1 + next(_seed) * 1e-6)
-        _ = float(loop(xs, k=k)[0])  # compile + warm
-        for _r in range(reps):
-            xs = x0 * np.float32(1 + next(_seed) * 1e-6)
-            t0 = time.perf_counter()
-            _ = float(loop(xs, k=k)[0])  # scalar readback = real sync
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+    def run(k):
+        xs = x0 * x0.dtype.type(1 + next(_seed) * 1e-6)
+        out = loop(xs, k=k)
+        r = np.asarray(jax.device_get(out)).ravel()[0]  # real sync
+        return r
 
-    d_lo = timed(k_lo)
-    d_hi = timed(k_hi)
-    return max((d_hi - d_lo) / (k_hi - k_lo), 1e-9)
+    diag = {}
+    for attempt in range(tries):
+        totals = {}
+        for k in sorted(ks):
+            run(k)  # warm/compile this k
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run(k)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            totals[k] = best
+        kl = sorted(ks)
+        slopes = sorted(
+            (totals[kl[j]] - totals[kl[i]]) / (kl[j] - kl[i])
+            for i in range(len(kl)) for j in range(i + 1, len(kl)))
+        per = slopes[len(slopes) // 2]
+        monotone = all(totals[kl[i]] < totals[kl[i + 1]]
+                       for i in range(len(kl) - 1))
+        diag = {"totals_ms": {str(k): round(v * 1e3, 2)
+                              for k, v in totals.items()},
+                "attempt": attempt + 1, "monotone": monotone}
+        if not monotone or per <= 0:
+            continue
+        if max_rate is not None and (1.0 / per) > max_rate * 1.02:
+            diag["above_roofline"] = True
+            continue
+        return per, diag
+    return None, diag
 
 
-def bench_bsr_banded(on_tpu: bool):
-    """Block-tridiagonal BSR (128-blocks) SpMV — the headline."""
+def _emit(name, *, nnz=None, per=None, diag=None, roof_rate=None,
+          unit="nnz/s", path=None, extra=None):
+    """Record one secondary metric (stderr log + dict entries)."""
+    rec = {}
+    if per is None:
+        rec[name] = None
+        rec[name + "_invalid"] = True
+        print(f"[bench] {name} INVALID measurement {diag}", file=sys.stderr)
+    else:
+        rate = nnz / per
+        rec[name] = round(rate, 1)
+        if roof_rate:
+            rec[name.rsplit("_", 2)[0] + "_roofline_frac"] = round(
+                rate / roof_rate, 4)
+        pct = f" ({100*rate/roof_rate:.1f}% of roofline)" if roof_rate else ""
+        print(f"[bench] {name} path={path} {per*1e3:.3f} ms/it -> "
+              f"{rate/1e9:.3f} G{unit}{pct}", file=sys.stderr)
+    if path is not None:
+        rec[name + "_path"] = path
+    if extra:
+        rec.update(extra)
+    return rec
+
+
+def _make_bsr(nbr, dtype):
     import jax.numpy as jnp
 
     from spalinalg_tpu import BsrMatrix
     from spalinalg_tpu.dtypes import INDEX_DTYPE
 
     bs = 128
-    nbr = 512 if on_tpu else 8  # streaming Pallas kernel path
     n = nbr * bs
     rng = np.random.default_rng(0)
-
     indptr = [0]
     indices = []
     for i in range(nbr):
@@ -99,180 +148,152 @@ def bench_bsr_banded(on_tpu: bool):
         indptr.append(len(indices))
     nblocks = len(indices)
     data = rng.normal(size=(nblocks, bs, bs)).astype(np.float32)
-
     bsr = BsrMatrix._from_parts(
         n, n, bs, bs,
         jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
         jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE),
-        jnp.asarray(data),
-    )
+        jnp.asarray(data))
+    if dtype == "bf16":
+        bsr = bsr.astype(jnp.bfloat16)
     x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    nnz = nblocks * bs * bs
-
-    if on_tpu:
-        per = _loop_rate(lambda v: bsr @ v, x0, nnz)
-    else:
-        per = _loop_rate(lambda v: bsr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
-    return nnz, per
+    return bsr, x0, nblocks * bs * bs
 
 
-def bench_bsr_banded_bf16(on_tpu: bool):
-    """bf16 block storage, f32 accumulation — halves HBM value traffic."""
+def _bsr_path(bsr, x) -> str:
     import jax.numpy as jnp
 
-    from spalinalg_tpu import BsrMatrix
-    from spalinalg_tpu.dtypes import INDEX_DTYPE
+    from spalinalg_tpu.ops.bsr_ops import _use_pallas
+    from spalinalg_tpu.ops.kernels.bsr_stream import _v3_eligible
 
-    bs = 128
-    nbr = 512 if on_tpu else 8
-    n = nbr * bs
-    rng = np.random.default_rng(0)
+    if _use_pallas(bsr, x.shape[0] * x.dtype.itemsize):
+        nbr = bsr.nrows // bsr.blocksize[0]
+        if _v3_eligible(nbr, bsr.n_blocks, *bsr.blocksize, x.dtype,
+                        bsr.data.dtype):
+            from spalinalg_tpu.ops.kernels import bsr_stream
 
-    indptr = [0]
-    indices = []
-    for i in range(nbr):
-        cols = [j for j in (i - 1, i, i + 1) if 0 <= j < nbr]
-        indices.extend(cols)
-        indptr.append(len(indices))
-    nblocks = len(indices)
-    data = rng.normal(size=(nblocks, bs, bs)).astype(np.float32)
+            from spalinalg_tpu.config import current_config
 
-    bsr = BsrMatrix._from_parts(
-        n, n, bs, bs,
-        jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
-        jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE),
-        jnp.asarray(data),
-    ).astype(jnp.bfloat16)
-    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    nnz = nblocks * bs * bs
-
-    if on_tpu:
-        per = _loop_rate(lambda v: bsr @ v, x0, nnz)
-    else:
-        per = _loop_rate(lambda v: bsr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
-    return nnz, per
+            g = current_config().bsr_stream_group or bsr_stream._V3_GROUP
+            return f"pallas_v3_g{g}"
+        return "pallas_v2"
+    return "xla_einsum"
 
 
-def bench_dia_banded(on_tpu: bool):
-    """Tridiagonal DIA SpMV — index-free streaming (no kernel needed)."""
-    import jax.numpy as jnp
-
-    from spalinalg_tpu import DiaMatrix
-
-    n = 1 << 21 if on_tpu else 1 << 14
-    rng = np.random.default_rng(0)
-    diags = [rng.normal(size=n).astype(np.float32) for _ in range(3)]
-    dia = DiaMatrix.from_diagonals(diags, [-1, 0, 1], n,
-                                   dtype=np.float32)
-    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    nnz = dia.nnz
-    if on_tpu:
-        per = _loop_rate(lambda v: dia @ v, x0, nnz)
-    else:
-        per = _loop_rate(lambda v: dia @ v, x0, nnz, k_lo=1, k_hi=3,
-                         reps=1)
-    return nnz, per
-
-
-def bench_csr_random(on_tpu: bool):
-    """Unstructured CSR SpMV via the bucketed-gather plan (secondary)."""
+def _make_csr(n, row_nnz, dtype=np.float32):
     import jax.numpy as jnp
 
     from spalinalg_tpu import CsrMatrix
     from spalinalg_tpu.dtypes import INDEX_DTYPE
 
-    n = 1 << 16 if on_tpu else 1 << 12
-    row_nnz = 32
-    nnz = n * row_nnz
     rng = np.random.default_rng(0)
     colind = np.sort(rng.integers(0, n, size=(n, row_nnz)), axis=1)
     rowptr = np.arange(n + 1, dtype=np.int64) * row_nnz
-    values = rng.normal(size=nnz).astype(np.float32)
+    values = rng.normal(size=n * row_nnz).astype(dtype)
     csr = CsrMatrix._from_parts(
         n, n,
         jnp.asarray(rowptr, dtype=INDEX_DTYPE),
         jnp.asarray(colind.reshape(-1), dtype=INDEX_DTYPE),
-        jnp.asarray(values),
-    )
-    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    if on_tpu:
-        per = _loop_rate(lambda v: csr @ v, x0, nnz, k_lo=9, k_hi=33)
-    else:
-        per = _loop_rate(lambda v: csr @ v, x0, nnz, k_lo=1, k_hi=3, reps=1)
-    return nnz, per
+        jnp.asarray(values))
+    x0 = jnp.asarray(rng.normal(size=n).astype(dtype))
+    return csr, x0, n * row_nnz
 
 
-def bench_spmm(on_tpu: bool):
-    """CSR SpMM with 64 dense RHS columns (BASELINE config[1])."""
-    import jax.numpy as jnp
+def _csr_path(csr, x) -> str:
+    from spalinalg_tpu.ops import matvec as mv
 
-    from spalinalg_tpu import CsrMatrix
-    from spalinalg_tpu.dtypes import INDEX_DTYPE
-
-    n = 1 << 14 if on_tpu else 1 << 10
-    row_nnz, K = 32, 64
-    nnz = n * row_nnz
-    rng = np.random.default_rng(0)
-    colind = np.sort(rng.integers(0, n, size=(n, row_nnz)), axis=1)
-    rowptr = np.arange(n + 1, dtype=np.int64) * row_nnz
-    values = rng.normal(size=nnz).astype(np.float32)
-    csr = CsrMatrix._from_parts(
-        n, n,
-        jnp.asarray(rowptr, dtype=INDEX_DTYPE),
-        jnp.asarray(colind.reshape(-1), dtype=INDEX_DTYPE),
-        jnp.asarray(values),
-    )
-    X0 = jnp.asarray(rng.normal(size=(n, K)).astype(np.float32))
-
-    def mm(X):
-        return csr @ X
-
-    # _loop_rate wants a vector-normalised loop; adapt for matrices
-    import jax
-
-    @partial(jax.jit, static_argnames=("k",))
-    def loop(X, k):
-        def body(i, Xc):
-            Y = mm(Xc)
-            return Y / (jnp.max(jnp.abs(Y)) + 1.0)
-        return jax.lax.fori_loop(0, k, body, X)
-
-    def timed(k, reps):
-        best = None
-        _ = float(loop(X0 * np.float32(1 + next(_seed) * 1e-6), k=k)[0, 0])
-        for _r in range(reps):
-            Xs = X0 * np.float32(1 + next(_seed) * 1e-6)
-            t0 = time.perf_counter()
-            _ = float(loop(Xs, k=k)[0, 0])
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
-
-    if on_tpu:
-        d_lo, d_hi = timed(9, 3), timed(33, 3)
-        per = max((d_hi - d_lo) / 24, 1e-9)
-    else:
-        d_lo, d_hi = timed(1, 1), timed(3, 1)
-        per = max((d_hi - d_lo) / 2, 1e-9)
-    return nnz, K, per
+    if mv._route_eligible(csr, x) and mv._route_plan(csr) is not None:
+        return "route"
+    if mv._structure_concrete(csr):
+        return "bucket_plan"
+    return "segment_sum"
 
 
-def bench_spgemm(on_tpu: bool):
-    """SpGEMM on a power-law graph matrix (BASELINE config[2]).
-
-    Times the numeric phase (plan cached): product terms per second."""
-    import time
-
+def bench_chol(on_tpu, secondary):
+    """Supernodal Cholesky factor + solve on a 2-D Laplacian
+    (BASELINE config[3]; VERDICT r2 missing #3)."""
     import jax
     import jax.numpy as jnp
 
     from spalinalg_tpu import CsrMatrix
     from spalinalg_tpu.dtypes import INDEX_DTYPE
-    from spalinalg_tpu.ops.spgemm import spgemm_apply, spgemm_plan
+    from spalinalg_tpu.linalg.cholesky import cholesky, cholesky_solve
+
+    k = 96 if on_tpu else 32
+    n = k * k
+    # 5-point Laplacian, CSR built directly
+    rows, cols, vals = [], [], []
+    for i in range(k):
+        for j in range(k):
+            r = i * k + j
+            for (ii, jj, v) in ((i, j, 4.0), (i - 1, j, -1.0),
+                                (i + 1, j, -1.0), (i, j - 1, -1.0),
+                                (i, j + 1, -1.0)):
+                if 0 <= ii < k and 0 <= jj < k:
+                    rows.append(r)
+                    cols.append(ii * k + jj)
+                    vals.append(v)
+    order = np.lexsort((cols, rows))
+    rows = np.asarray(rows)[order]
+    cols = np.asarray(cols)[order]
+    vals = np.asarray(vals, np.float32)[order]
+    rowptr = np.zeros(n + 1, np.int64)
+    np.add.at(rowptr, rows + 1, 1)
+    np.cumsum(rowptr, out=rowptr)
+    csr = CsrMatrix._from_parts(
+        n, n, jnp.asarray(rowptr, dtype=INDEX_DTYPE),
+        jnp.asarray(cols, dtype=INDEX_DTYPE), jnp.asarray(vals))
+
+    t0 = time.perf_counter()
+    fac = cholesky(csr, method="supernodal")
+    jax.block_until_ready(list(fac.snf.panels.values()))
+    t_total = time.perf_counter() - t0
+    # numeric-phase flops from the plan's front shapes
+    flops = 0
+    for buckets in fac.snf.plan.levels:
+        for bk in buckets:
+            B, ns, mu = bk.sids.size, bk.nsp, bk.mup
+            flops += B * (ns ** 3 / 3 + ns * ns * mu + ns * mu * mu)
+    # re-factor with the cached plan: numeric phase only
+    from spalinalg_tpu.linalg.supernodal import supernodal_factor
+
+    vals2 = csr.values * np.float32(1 + next(_seed) * 1e-6)
+    # reuse postorder value permutation implicitly: re-run on same plan
+    t0 = time.perf_counter()
+    snf2 = supernodal_factor(fac.snf.plan, vals2)
+    jax.block_until_ready(list(snf2.panels.values()))
+    t_num = time.perf_counter() - t0
+
+    b = jnp.asarray(np.random.default_rng(1).normal(size=n)
+                    .astype(np.float32))
+    x = cholesky_solve(fac, b)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x = cholesky_solve(fac, b * np.float32(1 + next(_seed) * 1e-6))
+        jax.block_until_ready(x)
+    t_solve = (time.perf_counter() - t0) / 3
+    secondary["chol_laplacian_n"] = n
+    secondary["chol_laplacian_factor_ms"] = round(t_total * 1e3, 1)
+    secondary["chol_laplacian_refactor_ms"] = round(t_num * 1e3, 1)
+    secondary["chol_laplacian_gflops"] = round(flops / t_num / 1e9, 2)
+    secondary["chol_laplacian_solve_ms"] = round(t_solve * 1e3, 1)
+    print(f"[bench] chol_laplacian n={n} factor {t_total*1e3:.0f} ms "
+          f"(numeric re-factor {t_num*1e3:.0f} ms = "
+          f"{flops/t_num/1e9:.1f} GFLOP/s), solve {t_solve*1e3:.1f} ms",
+          file=sys.stderr)
+
+
+def bench_spgemm(on_tpu, secondary, hbm):
+    """SpGEMM numeric phase on a power-law matrix (BASELINE config[2])."""
+    import jax
+    import jax.numpy as jnp
+
+    from spalinalg_tpu import CsrMatrix
+    from spalinalg_tpu.dtypes import INDEX_DTYPE
+    from spalinalg_tpu.ops import spgemm as sg
 
     n = 1 << 15 if on_tpu else 1 << 10
     rng = np.random.default_rng(1)
-    # power-law out-degrees (Zipf), uniform targets
     deg = np.minimum(rng.zipf(1.8, size=n), 512)
     rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     nnz = int(rowptr[-1])
@@ -286,28 +307,43 @@ def bench_spgemm(on_tpu: bool):
         jnp.asarray(rowptr, dtype=INDEX_DTYPE),
         jnp.asarray(colind, dtype=INDEX_DTYPE),
         jnp.asarray(values))
-    plan = spgemm_plan(a, a)
+    plan = sg.spgemm_plan(a, a)
     n_terms = int(plan.a_idx.shape[0])
 
-    def run(seed):
-        v = a.values * np.float32(1 + seed * 1e-6)
-        out = spgemm_apply(plan, v, a.values)
-        jax.block_until_ready(out)
-        return out
+    av = a.values
 
+    def run(seed):
+        out = sg.spgemm_apply(plan, av * np.float32(1 + seed * 1e-6), av)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
     run(next(_seed))  # compile + warm (builds the device plans)
+    t_warm = time.perf_counter() - t0
     reps = 5 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(reps):
         run(next(_seed))
     per = (time.perf_counter() - t0) / reps
-    return n_terms, per
+    rate = n_terms / per
+    roof = hbm / 24.0
+    valid = rate <= roof * 1.02
+    secondary["spgemm_powerlaw_terms_per_s"] = (round(rate, 1) if valid
+                                                else None)
+    if not valid:
+        secondary["spgemm_powerlaw_invalid"] = True
+    secondary["spgemm_roofline_frac"] = (round(rate / roof, 4) if valid
+                                         else None)
+    secondary["spgemm_path"] = sg._LAST_SPGEMM_PATH
+    print(f"[bench] spgemm_powerlaw path={sg._LAST_SPGEMM_PATH} "
+          f"terms={n_terms} warm {t_warm:.1f}s, {per*1e3:.3f} ms -> "
+          f"{rate/1e9:.3f} Gterms/s ({100*rate/roof:.1f}% of "
+          f"{roof/1e9:.0f} Gterms/s roofline)", file=sys.stderr)
 
 
 def _arm_watchdog(seconds: float) -> None:
-    """The tunnelled TPU can wedge on a lost device grant (claims spin
-    forever). If the bench cannot produce a number in time, emit a zero
-    metric line instead of hanging the harness."""
+    """The tunnelled TPU can wedge on a lost device grant. If the bench
+    cannot produce a number in time, emit a zero metric line instead of
+    hanging the harness."""
     import threading
 
     def fire():
@@ -329,100 +365,142 @@ def _arm_watchdog(seconds: float) -> None:
 def main() -> None:
     import jax
 
-    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "1500")))
+    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2300")))
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     hbm = _hbm()
-
-    nnz_b, per_b = bench_bsr_banded(on_tpu)
-    bsr_rate = nnz_b / per_b
-    # BSR minimal traffic: 4B value / nnz (indices + x + y amortise away).
-    bsr_roof = hbm / 4.0
-    print(
-        f"[bench] bsr_banded backend={backend} nnz={nnz_b} "
-        f"{per_b*1e3:.3f} ms/spmv -> {bsr_rate/1e9:.2f} Gnnz/s "
-        f"({100*bsr_rate/bsr_roof:.1f}% of {bsr_roof/1e9:.0f} Gnnz/s roofline)",
-        file=sys.stderr,
-    )
-
     secondary = {}
-    try:
-        nnz_h, per_h = bench_bsr_banded_bf16(on_tpu)
-        bf16_rate = nnz_h / per_h
-        bf16_roof = hbm / 2.0      # 2 B/nnz minimal traffic in bf16
-        secondary["bsr_banded_spmv_bf16_nnz_per_s"] = round(bf16_rate, 1)
-        secondary["bsr_bf16_roofline_frac"] = round(bf16_rate / bf16_roof, 4)
-        print(
-            f"[bench] bsr_banded_bf16 nnz={nnz_h} {per_h*1e3:.3f} ms/spmv -> "
-            f"{bf16_rate/1e9:.2f} Gnnz/s ({100*bf16_rate/bf16_roof:.1f}% of "
-            f"{bf16_roof/1e9:.0f} Gnnz/s bf16 roofline)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] bsr_bf16 failed: {e}", file=sys.stderr)
 
-    try:
-        nnz_d, per_d = bench_dia_banded(on_tpu)
-        dia_rate = nnz_d / per_d
-        dia_roof = hbm / 4.0     # value traffic only, like BSR
-        secondary["dia_banded_spmv_nnz_per_s"] = round(dia_rate, 1)
-        secondary["dia_roofline_frac"] = round(dia_rate / dia_roof, 4)
-        print(
-            f"[bench] dia_banded nnz={nnz_d} {per_d*1e3:.3f} ms/spmv -> "
-            f"{dia_rate/1e9:.2f} Gnnz/s ({100*dia_rate/dia_roof:.1f}% of "
-            f"{dia_roof/1e9:.0f} Gnnz/s roofline)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] dia_banded failed: {e}", file=sys.stderr)
+    ks_big = (32, 160, 288) if on_tpu else (1, 2, 3)
+    ks_mid = (8, 40, 72) if on_tpu else (1, 2, 3)
+    reps = 3 if on_tpu else 1
 
-    try:
-        nnz_c, per_c = bench_csr_random(on_tpu)
-        csr_rate = nnz_c / per_c
-        csr_roof = hbm / 12.0
-        secondary["csr_random_spmv_nnz_per_s"] = round(csr_rate, 1)
-        secondary["csr_roofline_frac"] = round(csr_rate / csr_roof, 4)
-        print(
-            f"[bench] csr_random nnz={nnz_c} {per_c*1e3:.3f} ms/spmv -> "
-            f"{csr_rate/1e9:.3f} Gnnz/s ({100*csr_rate/csr_roof:.1f}% of "
-            f"{csr_roof/1e9:.0f} Gnnz/s roofline)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # secondary must never kill the headline
-        print(f"[bench] csr_random failed: {e}", file=sys.stderr)
+    # ---- headline: f32 banded BSR ---------------------------------
+    bsr, x0, nnz_b = _make_bsr(512 if on_tpu else 8, "f32")
+    bsr_roof = hbm / 4.0  # minimal traffic: 4 B value / nnz
+    path = _bsr_path(bsr, x0)
+    per_b, diag_b = _measure(lambda v: bsr @ v, x0, ks=ks_big, reps=reps,
+                             max_rate=bsr_roof / nnz_b if on_tpu else None)
+    if per_b is None:
+        print(f"[bench] HEADLINE INVALID {diag_b}", file=sys.stderr)
+        bsr_rate = 0.0
+    else:
+        bsr_rate = nnz_b / per_b
+    secondary["bsr_f32_path"] = path
+    secondary["bsr_f32_diag"] = diag_b
+    print(f"[bench] bsr_banded path={path} nnz={nnz_b} "
+          f"{(per_b or 0)*1e3:.3f} ms/spmv -> {bsr_rate/1e9:.2f} Gnnz/s "
+          f"({100*bsr_rate/bsr_roof:.1f}% of {bsr_roof/1e9:.0f} Gnnz/s "
+          f"roofline)", file=sys.stderr)
 
+    # ---- bf16 BSR --------------------------------------------------
     try:
-        nnz_m, K_m, per_m = bench_spmm(on_tpu)
-        # traffic model per nnz: 4B value + 4B colind + K*4B X-row gather
-        # + amortised Y writes -> flops = 2*nnz*K
-        mm_flops = 2.0 * nnz_m * K_m / per_m
-        mm_roof = hbm / (8.0 + 4.0 * K_m) * 2.0 * K_m  # flops at traffic roof
-        secondary["csr_spmm_k64_gflops"] = round(mm_flops / 1e9, 2)
-        secondary["csr_spmm_roofline_frac"] = round(mm_flops / mm_roof, 4)
-        print(
-            f"[bench] csr_spmm nnz={nnz_m} K={K_m} {per_m*1e3:.3f} ms -> "
-            f"{mm_flops/1e9:.1f} GFLOP/s ({100*mm_flops/mm_roof:.1f}% of "
-            f"{mm_roof/1e9:.0f} GFLOP/s traffic roofline)",
-            file=sys.stderr,
-        )
+        hb, hx, hnnz = _make_bsr(512 if on_tpu else 8, "bf16")
+        roof = hbm / 2.0
+        per, diag = _measure(lambda v: hb @ v, hx, ks=ks_big, reps=reps,
+                             max_rate=roof / hnnz if on_tpu else None)
+        secondary.update(_emit("bsr_banded_spmv_bf16_nnz_per_s", nnz=hnnz,
+                               per=per, diag=diag, roof_rate=roof,
+                               path=_bsr_path(hb, hx)))
     except Exception as e:
-        print(f"[bench] csr_spmm failed: {e}", file=sys.stderr)
+        print(f"[bench] bsr_bf16 failed: {e!r}", file=sys.stderr)
 
+    # ---- DIA -------------------------------------------------------
     try:
-        n_terms, per_g = bench_spgemm(on_tpu)
-        g_rate = n_terms / per_g
-        # numeric phase minimal traffic/term: two 4B value reads + routing
-        g_roof = hbm / 24.0
-        secondary["spgemm_powerlaw_terms_per_s"] = round(g_rate, 1)
-        secondary["spgemm_roofline_frac"] = round(g_rate / g_roof, 4)
-        print(
-            f"[bench] spgemm_powerlaw terms={n_terms} {per_g*1e3:.3f} ms -> "
-            f"{g_rate/1e9:.3f} Gterms/s ({100*g_rate/g_roof:.1f}% of "
-            f"{g_roof/1e9:.0f} Gterms/s roofline)",
-            file=sys.stderr,
-        )
+        import jax.numpy as jnp
+
+        from spalinalg_tpu import DiaMatrix
+
+        n = 1 << 21 if on_tpu else 1 << 14
+        rng = np.random.default_rng(0)
+        diags = [rng.normal(size=n).astype(np.float32) for _ in range(3)]
+        dia = DiaMatrix.from_diagonals(diags, [-1, 0, 1], n,
+                                       dtype=np.float32)
+        dx = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        roof = hbm / 4.0
+        per, diag = _measure(lambda v: dia @ v, dx, ks=ks_big, reps=reps,
+                             max_rate=roof / dia.nnz if on_tpu else None)
+        secondary.update(_emit("dia_banded_spmv_nnz_per_s", nnz=dia.nnz,
+                               per=per, diag=diag, roof_rate=roof,
+                               path="xla_stream"))
     except Exception as e:
-        print(f"[bench] spgemm failed: {e}", file=sys.stderr)
+        print(f"[bench] dia failed: {e!r}", file=sys.stderr)
+
+    # ---- CSR random f32 -------------------------------------------
+    try:
+        csr, cx, cnnz = _make_csr(1 << 16 if on_tpu else 1 << 12, 32)
+        roof = hbm / 12.0
+        per, diag = _measure(lambda v: csr @ v, cx, ks=ks_mid, reps=reps,
+                             max_rate=roof / cnnz if on_tpu else None)
+        secondary.update(_emit("csr_random_spmv_nnz_per_s", nnz=cnnz,
+                               per=per, diag=diag, roof_rate=roof,
+                               path=_csr_path(csr, cx)))
+    except Exception as e:
+        print(f"[bench] csr_random failed: {e!r}", file=sys.stderr)
+
+    # ---- CSR random f64 (reference's primary scalar; VERDICT r2
+    # missing #2). Small n: f64 on TPU is emulated and compiles slowly.
+    try:
+        import jax.numpy as jnp
+
+        if jnp.zeros(1, jnp.float64).dtype == jnp.float64:
+            csr64, cx64, cnnz64 = _make_csr(
+                1 << 12 if on_tpu else 1 << 10, 16, np.float64)
+            roof = hbm / 20.0  # 8B value + 8B x + 4B index per nnz
+            per, diag = _measure(lambda v: csr64 @ v, cx64,
+                                 ks=(2, 6, 10) if on_tpu else (1, 2, 3),
+                                 reps=reps,
+                                 max_rate=roof / cnnz64 if on_tpu else None)
+            secondary.update(_emit("csr_f64_spmv_nnz_per_s", nnz=cnnz64,
+                                   per=per, diag=diag, roof_rate=roof,
+                                   path=_csr_path(csr64, cx64)))
+    except Exception as e:
+        print(f"[bench] csr_f64 failed: {e!r}", file=sys.stderr)
+
+    # ---- CSR SpMM K=64 --------------------------------------------
+    try:
+        csr, _, mnnz = _make_csr(1 << 14 if on_tpu else 1 << 10, 32)
+        K = 64
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        X0 = jnp.asarray(rng.normal(size=(csr.nrows, K)).astype(np.float32))
+        mm_roof_flops = hbm / (8.0 + 4.0 * K) * 2.0 * K
+        max_rate = (mm_roof_flops / (2.0 * mnnz * K)) if on_tpu else None
+        per, diag = _measure(lambda X: csr @ X, X0, ks=ks_mid, reps=reps,
+                             max_rate=max_rate)
+        from spalinalg_tpu.ops import matvec as mv
+
+        mm_path = ("route_spmm" if mv._spmm_route_eligible(csr, X0)
+                   else "bucket_plan") if hasattr(
+                       mv, "_spmm_route_eligible") else "bucket_plan"
+        if per is None:
+            secondary["csr_spmm_k64_gflops"] = None
+            secondary["csr_spmm_k64_invalid"] = True
+            print(f"[bench] csr_spmm INVALID {diag}", file=sys.stderr)
+        else:
+            gf = 2.0 * mnnz * K / per
+            secondary["csr_spmm_k64_gflops"] = round(gf / 1e9, 2)
+            secondary["csr_spmm_roofline_frac"] = round(gf / mm_roof_flops, 4)
+            print(f"[bench] csr_spmm path={mm_path} nnz={mnnz} K={K} "
+                  f"{per*1e3:.3f} ms -> {gf/1e9:.1f} GFLOP/s "
+                  f"({100*gf/mm_roof_flops:.1f}% of traffic roofline)",
+                  file=sys.stderr)
+        secondary["csr_spmm_path"] = mm_path
+    except Exception as e:
+        print(f"[bench] csr_spmm failed: {e!r}", file=sys.stderr)
+
+    # ---- SpGEMM ----------------------------------------------------
+    try:
+        bench_spgemm(on_tpu, secondary, hbm)
+    except Exception as e:
+        print(f"[bench] spgemm failed: {e!r}", file=sys.stderr)
+
+    # ---- Cholesky (config[3]) -------------------------------------
+    try:
+        bench_chol(on_tpu, secondary)
+    except Exception as e:
+        print(f"[bench] chol failed: {e!r}", file=sys.stderr)
 
     target = 0.70 * bsr_roof
     print(json.dumps({

@@ -341,6 +341,10 @@ def lobpcg(A, X0=None, k: Optional[int] = None, *, which: str = "SA",
     X0 = jnp.asarray(X0, dt)
     if X0.ndim != 2 or X0.shape[0] != n:
         raise ValueError(f"X0 must be (n, k) = ({n}, k), got {X0.shape}")
+    if k is not None and X0.shape[1] != k:
+        raise ValueError(
+            f"k={k} conflicts with X0.shape[1]={X0.shape[1]}; "
+            "pass one or make them agree")
     k = X0.shape[1]
     if 3 * k > n:
         raise ValueError(

@@ -42,7 +42,30 @@ __all__ = ["bsr_matvec_stream", "bsr_matmat_stream"]
 # Smaller windows double-buffer better at this block count.
 _V3_GROUP = 16
 _V3_VMEM_BYTES = 4 << 20  # x / y single-buffer budget each
-_LAST_V3_GROUP = None     # observability: group chosen by the last call
+# Test-only hook: group chosen by the most recent *trace* of the v3
+# kernel. A mutable module global — not thread-safe, and stale whenever
+# a caller hits a jit cache instead of retracing. Tests use it to assert
+# the config knob reached the kernel; production observability goes
+# through utils.metrics.
+_LAST_V3_GROUP = None
+
+
+def _resolve_group(group) -> int:
+    """Config fallback + validation for the v3 grid-window size.
+
+    Only ``None`` means "use the default"; anything else must be a
+    positive int (a bad Config value would otherwise surface as an
+    opaque negative-grid Mosaic failure)."""
+    if group is None:
+        from ...config import current_config
+
+        group = current_config().bsr_stream_group
+        if group is None:
+            return _V3_GROUP
+    if not isinstance(group, int) or isinstance(group, bool) or group < 1:
+        raise ValueError(
+            f"bsr_stream_group must be a positive int or None, got {group!r}")
+    return group
 
 
 def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
@@ -61,9 +84,18 @@ def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
             # cast x to the block dtype (bf16 storage -> bf16 x bf16 MXU
             # pass with f32 accumulation via preferred_element_type)
             xb = x_ref[col].astype(blk_ref.dtype)
-            prod = jnp.dot(
-                blk_ref[i], xb, preferred_element_type=jnp.float32
-            )
+            if blk_ref.dtype == jnp.bfloat16:
+                # Mosaic's tpu.matmul rejects a 1-D bf16 rhs ("rhs must
+                # be vector-like [B, K]"): contract on the rhs's LAST
+                # dim with a 2-D (1, bc) rhs instead -> (br, 1).
+                prod = jax.lax.dot_general(
+                    blk_ref[i], xb[None, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[:, 0]
+            else:
+                prod = jnp.dot(
+                    blk_ref[i], xb, preferred_element_type=jnp.float32
+                )
             y_ref[row] = y_ref[row] + prod.astype(y_ref.dtype)
 
         if masked:
@@ -102,9 +134,11 @@ def stream_v3_arrays(row_of_block, col_of_block, data, x2, *, nbr,
     ``row_of_block``/``col_of_block`` are (npad,) int32 (may be traced —
     e.g. shard_map operands), ``data`` (npad, br, bc), ``x2`` (nbc, bc)
     f32. Padding blocks must carry zero data (they accumulate harmlessly
-    into their ``row_of_block`` slot)."""
+    into their ``row_of_block`` slot). ``group=None`` reads
+    ``Config.bsr_stream_group`` (so the knob governs every caller,
+    including the distributed path)."""
     npad, br, bc = data.shape
-    G = min(group or _V3_GROUP, npad)
+    G = min(_resolve_group(group), npad)
 
     # index-map literals must be i32 everywhere (including the implicit
     # maps of full-array specs): weak-i64 constants (package-global
@@ -134,11 +168,8 @@ def stream_v3_arrays(row_of_block, col_of_block, data, x2, *, nbr,
 def _stream_call_v3(indptr, indices, data, x, *, interpret, group=None):
     import numpy as np
 
-    if group is None:
-        # tunable per deployment without code edits (Config is jit-static)
-        from ...config import current_config
-
-        group = current_config().bsr_stream_group or _V3_GROUP
+    # tunable per deployment without code edits (Config is jit-static)
+    group = _resolve_group(group)
     nbr = indptr.shape[0] - 1
     nblocks, br, bc = data.shape
     G = min(group, nblocks)

@@ -55,7 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["RoutePlan", "build_route_plan", "route_spmv", "simulate_route"]
+__all__ = ["RoutePlan", "build_route_plan", "route_spmv", "route_spmm",
+           "simulate_route"]
 
 _LANE = 128
 _BLK = 128                  # rows per block == windows per slice
@@ -670,6 +671,146 @@ def _route_spmv_ad_bwd(plan, interpret, res, g):
 
 
 _route_spmv_ad.defvjp(_route_spmv_ad_fwd, _route_spmv_ad_bwd)
+
+
+# ---------------------------------------------------------------------
+# SpMM through the same routing plan (north-star N2, BASELINE config[1]).
+# The routing tables are column-independent: one grid step streams the
+# page's FP/VALS once and routes every RHS column through it, so the
+# 8 B/slot table traffic amortises over K columns while the lane
+# gathers stay shape-preserving per column.
+# ---------------------------------------------------------------------
+
+
+def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol):
+    s = pl.program_id(1)
+    fp = fp_ref[0]
+    v = v_ref[0]
+    for c in range(ncol):
+        X2 = x_ref[0, c]
+        zs = []
+        for d in range(_D):
+            b = slice(d * _BLK, (d + 1) * _BLK)
+            fpb = fp[b]
+            H = _take_lane(X2, fpb & jnp.int32(0xFF))
+            Sm = _take_lane(H.T, (fpb >> jnp.int32(8)) & jnp.int32(0xFF))
+            zs.append(_take_lane(Sm.T, fpb >> jnp.int32(16)))
+        P = jnp.concatenate(zs, axis=0) * v
+        acc = jnp.zeros((R, _LANE), jnp.float32)
+        for k in range(K_ell):
+            acc = acc + P[k * R:(k + 1) * R]
+
+        @pl.when(s == jnp.int32(0))
+        def _():
+            o_ref[0, c] = acc
+
+        @pl.when(s != jnp.int32(0))
+        def _():
+            o_ref[0, c] = o_ref[0, c] + acc
+
+
+@partial(jax.jit, static_argnames=("K_ell", "R", "T", "S", "RPP", "ncol",
+                                   "interpret"))
+def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
+                     interpret=False):
+    X = X.astype(jnp.float32)
+    Xp = jnp.zeros((S * _SLICE_COLS, ncol), jnp.float32)
+    Xp = Xp.at[: X.shape[0]].set(X)
+    # per column: column-major slices as in _route_call; layout
+    # (S, ncol, 128, 128) so each (slice, column) pane is a contiguous
+    # lane-gatherable (sublane, lane) tile.
+    Xp = Xp.reshape(S, _LANE, _BLK, ncol).transpose(0, 3, 2, 1)
+
+    _z = lambda: jnp.int32(0)
+    stream = lambda: pl.BlockSpec(
+        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
+        memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_route_spmm_kernel, K_ell=K_ell, R=R, ncol=ncol),
+        grid=(T, S),
+        in_specs=[
+            pl.BlockSpec((1, ncol, _BLK, _LANE),
+                         lambda t, s: (s, _z(), _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            stream(), stream(),
+        ],
+        out_specs=pl.BlockSpec((1, ncol, R, _LANE),
+                               lambda t, s: (t, _z(), _z(), _z()),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, ncol, R, _LANE), jnp.float32),
+        interpret=interpret,
+    )
+    Y = fn(Xp, FP, VALS)
+    # (T, ncol, R, 128) -> rows-major (T, R*128, ncol) -> trim RPP
+    Y = Y.transpose(0, 2, 3, 1).reshape(T, R * _LANE, ncol)
+    return Y[:, :RPP].reshape(T * RPP, ncol)
+
+
+def route_spmm(plan: RoutePlan, X, values=None, *,
+               interpret: bool = False):
+    """``Y = A @ X`` (dense tall-skinny X) through the routing plan.
+
+    Same table reuse semantics as :func:`route_spmv`; reverse-mode AD
+    uses the closed-form VJP on the plan's entry lists."""
+    if values is None:
+        values = plan.default_values
+    values = jnp.asarray(values) if isinstance(values, np.ndarray) else values
+    return _route_spmm_ad(plan, interpret, X, values)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _route_spmm_ad(plan, interpret, X, values):
+    return _route_spmm_impl(plan, X, values, interpret)
+
+
+def _route_spmm_ad_fwd(plan, interpret, X, values):
+    return _route_spmm_impl(plan, X, values, interpret), (X, values)
+
+
+def _route_spmm_ad_bwd(plan, interpret, res, g):
+    X, values = res
+    rows = jnp.asarray(plan.rows_np)
+    cols = jnp.asarray(plan.cols_np)
+    nnz = rows.shape[0]
+    gf = g.astype(jnp.float32)
+    xf = X.astype(jnp.float32)
+    vf = values.astype(jnp.float32)[:nnz]
+    dvals = jnp.sum(gf[rows] * xf[cols], axis=1)
+    if values.shape[0] > nnz:
+        dvals = jnp.pad(dvals, (0, values.shape[0] - nnz))
+    dX = jnp.zeros(X.shape, jnp.float32).at[cols].add(
+        vf[:, None] * gf[rows])
+    return dX.astype(X.dtype), dvals.astype(values.dtype)
+
+
+_route_spmm_ad.defvjp(_route_spmm_ad_fwd, _route_spmm_ad_bwd)
+
+
+def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
+    traced = isinstance(values, jax.core.Tracer)
+    VALS = plan.device_vals(values) if traced else plan.bake(values)
+    ncol = int(X.shape[1])
+    Yr = _route_spmm_call(plan.FP, VALS, X,
+                          K_ell=plan.K, R=plan.R, T=plan.T, S=plan.S,
+                          RPP=plan.RPP, ncol=ncol, interpret=interpret)
+    Y = Yr[: plan.nrows]
+    nvr = plan.vrow_src.size
+    if nvr:
+        Y = Y.at[jnp.asarray(plan.vrow_src)].add(
+            Yr[plan.nrows: plan.nrows + nvr])
+    if plan.spill_plan is not None:
+        Y = Y + _route_spmm_impl(plan.spill_plan, X, values, interpret)
+    elif plan.spill[0].size:
+        sp_rows, sp_cols, sp_src = plan.spill
+        if traced:
+            sp_vals = values.astype(jnp.float32)[jnp.asarray(sp_src)]
+        else:
+            sp_vals = jnp.asarray(
+                np.asarray(values, np.float32)[sp_src])
+        contrib = sp_vals[:, None] * X.astype(jnp.float32)[
+            jnp.asarray(sp_cols)]
+        Y = Y.at[jnp.asarray(sp_rows)].add(contrib)
+    return Y
 
 
 def _route_spmv_impl(plan: RoutePlan, x, values, interpret):

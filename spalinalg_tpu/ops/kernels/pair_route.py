@@ -1,0 +1,302 @@
+"""Paired routed gather: the SpGEMM numeric-phase kernel.
+
+The SpGEMM numeric phase is ``C.values[g] = Σ_t A.values[a_idx[t]] *
+B.values[b_idx[t]]`` over product terms ``t`` grouped by output slot
+``g`` — two arbitrary gathers and a segmented sum, all with *constant*
+structure. XLA's dynamic gather runs at ~0.14 Gelem/s on TPU
+(tools/probe_r3_results.jsonl), 100× off the roofline; scatter is as
+bad. The routed-gather network of ``csr_route.py`` moves a *traced*
+vector through constant lane-gather tables at ~306 Gelem/s — so this
+kernel runs the whole phase in one pallas_call:
+
+1. Terms are assigned **dest ELL slots** ``(output slot g, k)`` exactly
+   like the SpMV router assigns matrix entries (K-wide rows, virtual
+   rows absorb overflow, spills fall back to XLA).
+2. Two independent routing tables are built over the same dest slots:
+   ``FPA`` routes ``A.values[a_idx[t]]`` into slot(t), ``FPB`` routes
+   ``B.values[b_idx[t]]`` into the same slot. Each packs its 3-stage
+   lane routes plus a validity bit (``F1|F2<<8|F3<<16|ok<<24``) — no
+   separate VALS table, values ride the traced input streams.
+3. The kernel accumulates each route's slot payloads across source
+   slices into VMEM scratch (each slot is fed by exactly one slice per
+   route), multiplies the two completed slot planes, and K-sums into
+   the output rows: ``y[g] = Σ_k A_slot[g,k] * B_slot[g,k]``.
+
+Table traffic is 8 B/slot for both routes combined (vs 24 B/term of
+the XLA formulation's minimal traffic), and the products never touch
+HBM.
+
+Reference scope: SpGEMM semantics are `src/csr/ops/mul.rs:5-58`; the
+reference's Gustavson loop is the CPU oracle, this is north-star N3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .csr_route import (_BLK, _D, _H, _LANE, _SLICE_COLS, _choose_K,
+                        _color_all, _page_geometry, _take_lane)
+
+__all__ = ["PairRoutePlan", "build_pair_route_plan", "pair_route_apply",
+           "simulate_pair_route"]
+
+_MAX_PAIR_TABLE_BYTES = 1 << 30  # FPA+FPB combined budget
+
+
+@dataclass(eq=False)  # identity hash: plans are jit-static
+class PairRoutePlan:
+    """Host-built paired routing tables for one SpGEMM term structure."""
+
+    n_out: int              # output slots (C nnz)
+    nnz_a: int
+    nnz_b: int
+    n_terms: int
+    K: int
+    R: int
+    T: int
+    S: int                  # max source slices across the two routes
+    RPP: int
+    FPA: jax.Array          # (T*S, 512, 128) i32
+    FPB: jax.Array          # (T*S, 512, 128) i32
+    vrow_src: np.ndarray    # (n_virtual,) real output slot per virtual row
+    spill: Tuple[np.ndarray, np.ndarray, np.ndarray]  # gid, a_idx, b_idx
+    spill_frac: float
+
+    @property
+    def table_bytes(self) -> int:
+        return int(self.T) * int(self.S) * _H * _LANE * 8
+
+
+def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
+                          nnz_b: int, seed: int = 0) -> PairRoutePlan:
+    """Build the paired plan on host (NumPy + native coloring).
+
+    ``gid`` must be sorted nondecreasing (terms grouped by output slot);
+    ``a_idx``/``b_idx`` are the per-term operand value indices."""
+    gid = np.asarray(gid, dtype=np.int64)
+    a_idx = np.asarray(a_idx, dtype=np.int64)
+    b_idx = np.asarray(b_idx, dtype=np.int64)
+    n_terms = int(gid.size)
+    rng = np.random.default_rng(seed)
+
+    S = max(1, -(-max(nnz_a, 1) // _SLICE_COLS),
+            -(-max(nnz_b, 1) // _SLICE_COLS))
+
+    # rank within output slot (gid sorted)
+    if n_terms:
+        new = np.concatenate([[True], gid[1:] != gid[:-1]])
+        gstart = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        kpos = np.arange(n_terms, dtype=np.int64) - gstart[run]
+        gcounts = np.diff(np.append(gstart, n_terms))
+        maxcnt = np.zeros(n_out, np.int64)
+        maxcnt[gid[gstart]] = gcounts
+    else:
+        kpos = np.zeros(0, np.int64)
+        maxcnt = np.zeros(n_out, np.int64)
+
+    K = _choose_K(maxcnt, n_out, S, n_terms)
+    R = _H // K
+
+    q = kpos // K
+    kk = kpos % K
+    nvr_per = np.maximum((np.maximum(maxcnt, 1) - 1) // K, 0)
+    vrow_base = n_out + np.concatenate([[0], np.cumsum(nvr_per)])[:-1]
+    vrow_src = np.repeat(np.arange(n_out, dtype=np.int64), nvr_per)
+    nvr = int(nvr_per.sum())
+    dest_row = np.where(q == 0, gid, vrow_base[gid] + (q - 1))
+
+    nrows_tot = n_out + nvr
+    T, RPP = _page_geometry(K, nrows_tot, n_terms, S)
+    if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
+        raise ValueError("pair route tables would exceed memory budget")
+
+    t_r = dest_row // RPP
+    lr = dest_row % RPP
+    sdest = kk * R + lr // _LANE
+    l_r = lr % _LANE
+    d_r = sdest // _BLK
+    sdb = sdest % _BLK
+
+    def route(idx):
+        sl = idx // _SLICE_COLS
+        cl = idx % _SLICE_COLS
+        rr = cl % _LANE            # source row (col-major window)
+        lc = cl // _LANE           # source lane
+        page = t_r * S + sl
+        grp = (page * _D + d_r) * _BLK + sdb
+        forb = (page * _D + d_r) * _BLK + rr
+        m, ok = _color_all(grp, forb, lc, rng)
+        return sl, rr, lc, m, ok
+
+    sl_a, rr_a, lc_a, m_a, ok_a = route(a_idx)
+    sl_b, rr_b, lc_b, m_b, ok_b = route(b_idx)
+    ok = ok_a & ok_b
+
+    def tables(sl, rr, lc, m, g):
+        F1 = np.zeros((T * S, _H, _LANE), np.int32)
+        F2 = np.zeros((T * S, _H, _LANE), np.int32)
+        F3 = np.zeros((T * S, _H, _LANE), np.int32)
+        MK = np.zeros((T * S, _H, _LANE), np.int32)
+        page = t_r[g] * S + sl[g]
+        F1[page, d_r[g] * _BLK + rr[g], m[g]] = lc[g]
+        F2[page, d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
+        F3[page, d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
+        MK[page, sdest[g], l_r[g]] = 1
+        return F1 | (F2 << 8) | (F3 << 16) | (MK << 24)
+
+    FPA = tables(sl_a, rr_a, lc_a, m_a, ok)
+    FPB = tables(sl_b, rr_b, lc_b, m_b, ok)
+
+    return PairRoutePlan(
+        n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
+        K=K, R=R, T=T, S=S, RPP=RPP,
+        FPA=jnp.asarray(FPA), FPB=jnp.asarray(FPB),
+        vrow_src=vrow_src,
+        spill=(gid[~ok], a_idx[~ok], b_idx[~ok]),
+        spill_frac=float((~ok).sum() / max(n_terms, 1)),
+    )
+
+
+# ---------------------------------------------------------------------
+# NumPy simulator (exact kernel math; used by tests)
+# ---------------------------------------------------------------------
+
+def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
+    """Replay the kernel's routing in NumPy (routed terms only)."""
+    K, R, T, S = plan.K, plan.R, plan.T, plan.S
+
+    def slices(v, nnz):
+        X = np.zeros(S * _SLICE_COLS, np.float32)
+        X[:nnz] = np.asarray(v, np.float32)[:nnz]
+        return X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+
+    Xa = slices(a_vals, plan.nnz_a)
+    Xb = slices(b_vals, plan.nnz_b)
+    FPA = np.asarray(plan.FPA)
+    FPB = np.asarray(plan.FPB)
+    y = np.zeros((T, R * _LANE), np.float32)
+    for t in range(T):
+        za = np.zeros((_H, _LANE), np.float32)
+        zb = np.zeros((_H, _LANE), np.float32)
+        for s in range(S):
+            p = t * S + s
+            for fp, X, z in ((FPA[p], Xa[s], za), (FPB[p], Xb[s], zb)):
+                for d in range(_D):
+                    b = slice(d * _BLK, (d + 1) * _BLK)
+                    H = np.take_along_axis(X, fp[b] & 0xFF, axis=1)
+                    Sm = np.take_along_axis(H.T, (fp[b] >> 8) & 0xFF,
+                                            axis=1)
+                    Z = np.take_along_axis(Sm.T, (fp[b] >> 16) & 0xFF,
+                                           axis=1)
+                    z[b] += Z * (fp[b] >> 24)
+        P = za * zb
+        acc = np.zeros((R, _LANE), np.float32)
+        for k in range(K):
+            acc += P[k * R:(k + 1) * R]
+        y[t] = acc.reshape(-1)
+    yr = y[:, : plan.RPP].reshape(-1)
+    out = yr[: plan.n_out].copy()
+    nvr = plan.vrow_src.size
+    if nvr:
+        np.add.at(out, plan.vrow_src, yr[plan.n_out: plan.n_out + nvr])
+    return out
+
+
+# ---------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------
+
+
+def _pair_kernel(xa_ref, xb_ref, fpa_ref, fpb_ref, o_ref, za, zb,
+                 *, K, R, S):
+    s = pl.program_id(1)
+
+    @pl.when(s == jnp.int32(0))
+    def _():
+        za[...] = jnp.zeros_like(za)
+        zb[...] = jnp.zeros_like(zb)
+
+    Xa = xa_ref[...]
+    Xb = xb_ref[...]
+    for fp_ref, X, z in ((fpa_ref, Xa, za), (fpb_ref, Xb, zb)):
+        for d in range(_D):
+            b = slice(d * _BLK, (d + 1) * _BLK)
+            fp = fp_ref[0][b]
+            H = _take_lane(X, fp & jnp.int32(0xFF))
+            Sm = _take_lane(H.T, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
+            Z = _take_lane(Sm.T, (fp >> jnp.int32(16)) & jnp.int32(0xFF))
+            mk = (fp >> jnp.int32(24)).astype(jnp.float32)
+            z[b] = z[b] + Z * mk
+
+    @pl.when(s == jnp.int32(S - 1))
+    def _():
+        P = za[...] * zb[...]
+        acc = jnp.zeros((R, _LANE), jnp.float32)
+        for k in range(K):
+            acc = acc + P[k * R:(k + 1) * R]
+        o_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nnz_a",
+                                   "nnz_b", "interpret"))
+def _pair_call(FPA, FPB, a_vals, b_vals, *, K, R, T, S, RPP,
+               nnz_a, nnz_b, interpret=False):
+    def slices(v, nnz):
+        X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
+        X = X.at[:nnz].set(v.astype(jnp.float32)[:nnz])
+        X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+        return X.reshape(S * _BLK, _LANE)
+
+    Xa = slices(a_vals, nnz_a)
+    Xb = slices(b_vals, nnz_b)
+
+    _z = lambda: jnp.int32(0)
+    stream = lambda: pl.BlockSpec(
+        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
+        memory_space=pltpu.VMEM)
+    xspec = lambda: pl.BlockSpec(
+        (_BLK, _LANE), lambda t, s: (s, _z()), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_pair_kernel, K=K, R=R, S=S),
+        grid=(T, S),
+        in_specs=[xspec(), xspec(), stream(), stream()],
+        out_specs=pl.BlockSpec((1, R, _LANE),
+                               lambda t, s: (t, _z(), _z()),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_H, _LANE), jnp.float32),
+                        pltpu.VMEM((_H, _LANE), jnp.float32)],
+        interpret=interpret,
+    )
+    y = fn(Xa, Xb, FPA, FPB)
+    return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+
+
+def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
+                     interpret: bool = False) -> jax.Array:
+    """Numeric SpGEMM through the paired plan (+ XLA spill path)."""
+    yr = _pair_call(plan.FPA, plan.FPB, a_vals, b_vals,
+                    K=plan.K, R=plan.R, T=plan.T, S=plan.S,
+                    RPP=plan.RPP, nnz_a=plan.nnz_a, nnz_b=plan.nnz_b,
+                    interpret=interpret)
+    y = yr[: plan.n_out]
+    nvr = plan.vrow_src.size
+    if nvr:
+        y = y.at[jnp.asarray(plan.vrow_src)].add(
+            yr[plan.n_out: plan.n_out + nvr])
+    sp_g, sp_a, sp_b = plan.spill
+    if sp_g.size:
+        contrib = (a_vals.astype(jnp.float32)[jnp.asarray(sp_a)]
+                   * b_vals.astype(jnp.float32)[jnp.asarray(sp_b)])
+        y = y.at[jnp.asarray(sp_g)].add(contrib)
+    return y

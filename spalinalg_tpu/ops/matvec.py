@@ -260,7 +260,22 @@ def csr_matmat(csr, X: jax.Array) -> jax.Array:
         nnz=nnz, flops=2 * nnz * k, bytes=(itm * (1 + 2 * k) + 4) * nnz)
 
 
+def _spmm_route_eligible(csr, X) -> bool:
+    """Route-kernel eligibility for SpMM: as SpMV, plus a column-count
+    bound keeping the per-page X tile inside VMEM (ncol * 64 KiB)."""
+    if not _route_eligible(csr, X):
+        return False
+    ncol = int(X.shape[1])
+    return 1 <= ncol <= 64
+
+
 def _csr_matmat_impl(csr, X):
+    if _spmm_route_eligible(csr, X):
+        plan = _route_plan(csr)
+        if plan is not None:
+            from .kernels.csr_route import route_spmm
+
+            return route_spmm(plan, X, csr.values)
     if _structure_concrete(csr):
         return _plan_spmm_jit(_row_plan(csr), csr.colind, csr.values, X)
     return _csr_spmm_kernel(csr.rowptr, csr.colind, csr.values, X,

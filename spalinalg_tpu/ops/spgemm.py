@@ -75,32 +75,32 @@ class SpgemmPlan:
         """2 × product-term count (multiply + add)."""
         return 2 * int(self.a_idx.shape[0])
 
-    # TPU numeric-phase artifacts (route plans for the two value
-    # gathers + the gather-only reduce plan), built lazily per plan.
+    # TPU numeric-phase artifact: the paired routed-gather plan
+    # (kernels/pair_route.py), built lazily per (value-array-size) pair
+    # and cached on the plan object.
     def _tpu_numeric(self, nnz_a: int, nnz_b: int):
-        cached = getattr(self, "_tpu_cache", None)
-        if cached is not None:
-            return cached
-        from .kernels.csr_route import build_route_plan
-        from .reduction import build_segment_reduce_plan
+        cache = getattr(self, "_tpu_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_tpu_cache", cache)
+        key = (nnz_a, nnz_b)
+        if key in cache:
+            return cache[key]
+        from .kernels.pair_route import build_pair_route_plan
 
-        n_terms = int(self.a_idx.shape[0])
-        arange = np.arange(n_terms + 1, dtype=np.int64)
-        ones = np.ones(n_terms, np.float32)
         try:
-            pa = build_route_plan(arange, np.asarray(self.a_idx, np.int64),
-                                  ones, n_terms, max(nnz_a, 1))
-            pb = build_route_plan(arange, np.asarray(self.b_idx, np.int64),
-                                  ones, n_terms, max(nnz_b, 1))
+            with jax.ensure_compile_time_eval():
+                plan = build_pair_route_plan(
+                    np.asarray(self.gid, np.int64),
+                    np.asarray(self.a_idx, np.int64),
+                    np.asarray(self.b_idx, np.int64),
+                    max(self.n_out, 1), max(nnz_a, 1), max(nnz_b, 1))
         except ValueError:  # table budget exceeded
-            object.__setattr__(self, "_tpu_cache", (None, None, None))
-            return (None, None, None)
-        sizes = np.bincount(np.asarray(self.gid, np.int64),
-                            minlength=max(self.n_out, 1))
-        rp = build_segment_reduce_plan(sizes)
-        out = (pa, pb, rp)
-        object.__setattr__(self, "_tpu_cache", out)
-        return out
+            plan = None
+        if plan is not None and plan.spill_frac > 0.10:
+            plan = None  # pathological structure; XLA path is safer
+        cache[key] = plan
+        return plan
 
 
 def _csr_host_arrays(mat):
@@ -199,31 +199,37 @@ def _spgemm_numeric(a_idx, b_idx, gid, a_values, b_values, *, n_out):
     )[:n_out]
 
 
+# Test/bench observability hook: the dispatch branch taken by the most
+# recent spgemm_apply call ("pair_route" | "xla"). A module global — not
+# thread-safe; production observability goes through utils.metrics.
+_LAST_SPGEMM_PATH = None
+
+
 def spgemm_apply(plan: SpgemmPlan, a_values: jax.Array, b_values: jax.Array):
     """Numeric phase: returns the output CSR value array. Device-resident.
 
-    On TPU with f32-class values the two value gathers run through the
-    routed-gather kernel (``kernels/csr_route`` with unit values — the
-    per-term products ``A.values[a_idx]``/``B.values[b_idx]`` are each
-    an SpMV by a one-entry-per-row selection matrix) and the output
-    accumulation through the gather-only segment-reduce plan; XLA 1-D
-    gathers never appear on the hot path. Elsewhere (CPU backend, f64)
-    the XLA gather + sorted ``segment_sum`` formulation is used — still
-    device-side, jit- and grad-compatible.
+    On TPU with f32-class values the whole phase (both value gathers,
+    the products, and the per-output-slot reduction) runs inside the
+    paired routed-gather Pallas kernel (``kernels/pair_route``) —
+    values stream through constant lane-gather tables, so XLA's serial
+    dynamic gather never appears on the hot path and fresh value arrays
+    cost nothing extra. Elsewhere (CPU backend, f64) the XLA gather +
+    sorted ``segment_sum`` formulation is used — still device-side,
+    jit- and grad-compatible.
     """
+    global _LAST_SPGEMM_PATH
     out_dtype = jnp.result_type(a_values.dtype, b_values.dtype)
     n_terms = int(plan.a_idx.shape[0])
     if (jax.default_backend() == "tpu" and out_dtype == jnp.float32
             and n_terms >= 4096):
-        pa, pb, rp = plan._tpu_numeric(int(a_values.shape[0]),
-                                       int(b_values.shape[0]))
-        if pa is not None:
-            from .kernels.csr_route import route_spmv
-            from .reduction import segment_reduce
+        pr = plan._tpu_numeric(int(a_values.shape[0]),
+                               int(b_values.shape[0]))
+        if pr is not None:
+            from .kernels.pair_route import pair_route_apply
 
-            u = route_spmv(pa, a_values)
-            w = route_spmv(pb, b_values)
-            return segment_reduce(rp, u * w)[: plan.n_out]
+            _LAST_SPGEMM_PATH = "pair_route"
+            return pair_route_apply(pr, a_values, b_values)[: plan.n_out]
+    _LAST_SPGEMM_PATH = "xla"
     return _spgemm_numeric(
         plan.a_idx, plan.b_idx, plan.gid, a_values, b_values, n_out=plan.n_out
     )

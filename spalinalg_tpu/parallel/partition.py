@@ -132,6 +132,12 @@ class DistCsr:
 
             raise ShapeError(
                 f"matmul dim mismatch {self.shape} x {other.shape}")
+        if other.mesh is not self.mesh or other.axis != self.axis:
+            raise ValueError(
+                "DistCsr * DistCsr needs both operands on the same mesh "
+                "and axis (re-partition one operand first); a silent "
+                "re-home onto the left operand's mesh is more likely a "
+                "caller bug than an intent")
         return partition_csr(self.to_csr() * other.to_csr(), self.mesh,
                              axis=self.axis)
 
