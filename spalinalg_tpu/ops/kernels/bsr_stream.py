@@ -85,13 +85,15 @@ def _kernel_v3(row_ref, col_ref, blk_ref, x_ref, y_ref, *, G, nblocks):
             # pass with f32 accumulation via preferred_element_type)
             xb = x_ref[col].astype(blk_ref.dtype)
             if blk_ref.dtype == jnp.bfloat16:
-                # Mosaic's tpu.matmul rejects a 1-D bf16 rhs ("rhs must
-                # be vector-like [B, K]"): contract on the rhs's LAST
-                # dim with a 2-D (1, bc) rhs instead -> (br, 1).
-                prod = jax.lax.dot_general(
-                    blk_ref[i], xb[None, :], (((1,), (1,)), ((), ())),
+                # Mosaic can't lower a bf16 matrix x 1-D-vector dot
+                # (and the (br,bc)x(1,bc) "vector-like rhs" form trips
+                # an invalid bf16->f32 vector.broadcast). Use the
+                # canonical (1,K)@(K,N) matmul on the transposed block:
+                # (B x)^T = x^T B^T; the (128,128) transpose is free.
+                prod = jnp.dot(
+                    xb[None, :], blk_ref[i].T,
                     preferred_element_type=jnp.float32,
-                )[:, 0]
+                )[0]
             else:
                 prod = jnp.dot(
                     blk_ref[i], xb, preferred_element_type=jnp.float32

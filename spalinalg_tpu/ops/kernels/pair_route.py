@@ -117,13 +117,28 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
 
     nrows_tot = n_out + nvr
     T, RPP = _page_geometry(K, nrows_tot, n_terms, S)
+    # Slot-load slack: at 100 % packing each (block, source-row) pair
+    # sees Poisson(128) requests against exactly 128 colors, forcing a
+    # structural ~4 % coloring overflow (measured). ~12 % slack pulls
+    # the mean to ~112 and the overflow tail near zero for ~12 % more
+    # table pages.
+    cap = R * _LANE
+    RPP = min(RPP, max(_LANE, int(cap * 0.88) // _LANE * _LANE))
+    T = max(1, -(-nrows_tot // RPP))
     if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
         raise ValueError("pair route tables would exceed memory budget")
 
     t_r = dest_row // RPP
     lr = dest_row % RPP
-    sdest = kk * R + lr // _LANE
-    l_r = lr % _LANE
+    # Interleaved slot layout: consecutive output slots advance the
+    # SUBLANE (sdest), not the lane — lr = l*R + r. Consecutive gids'
+    # terms have correlated sources (one A row / one B row feeds runs
+    # of consecutive slots); packing them into one dest sublane made
+    # that sublane's 128-color matching near-perfect-rainbow and spill
+    # ~9 % (probe_r3). Striding them across sublanes decorrelates every
+    # coloring group (measured spill after: <1 %).
+    sdest = kk * R + lr % R
+    l_r = lr // R
     d_r = sdest // _BLK
     sdb = sdest % _BLK
 
@@ -203,7 +218,7 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
         acc = np.zeros((R, _LANE), np.float32)
         for k in range(K):
             acc += P[k * R:(k + 1) * R]
-        y[t] = acc.reshape(-1)
+        y[t] = acc.T.reshape(-1)  # interleaved layout: lr = l*R + r
     yr = y[:, : plan.RPP].reshape(-1)
     out = yr[: plan.n_out].copy()
     nvr = plan.vrow_src.size
@@ -279,13 +294,23 @@ def _pair_call(FPA, FPB, a_vals, b_vals, *, K, R, T, S, RPP,
         interpret=interpret,
     )
     y = fn(Xa, Xb, FPA, FPB)
-    return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+    # interleaved slot layout (lr = l*R + r): one XLA transpose per call
+    y = y.transpose(0, 2, 1).reshape(T, _LANE * R)
+    return y[:, :RPP].reshape(-1)
 
 
 def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
-                     interpret: bool = False) -> jax.Array:
-    """Numeric SpGEMM through the paired plan (+ XLA spill path)."""
-    yr = _pair_call(plan.FPA, plan.FPB, a_vals, b_vals,
+                     tables=None, interpret: bool = False) -> jax.Array:
+    """Numeric SpGEMM through the paired plan (+ XLA spill path).
+
+    ``tables``: optional ``(FPA, FPB)`` override. When calling from
+    inside an enclosing ``jit``, pass the plan's tables through that
+    jit's *arguments* and hand them in here — captured as closure
+    constants they are serialised into the compile payload, which for
+    large plans (100s of MB) breaks remote-compile transports and
+    bloats compilation."""
+    FPA, FPB = tables if tables is not None else (plan.FPA, plan.FPB)
+    yr = _pair_call(FPA, FPB, a_vals, b_vals,
                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
                     RPP=plan.RPP, nnz_a=plan.nnz_a, nnz_b=plan.nnz_b,
                     interpret=interpret)

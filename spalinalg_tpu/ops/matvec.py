@@ -5,16 +5,15 @@ TPU-native formulation: with static structure, CSR SpMV is
 
     y = segment_sum(values * x[colind], row_ids, num_segments=nrows)
 
-- the gather ``x[colind]`` and the sorted ``segment_sum`` both map to fast
-  XLA TPU paths (measured ~65 Gelem/s gather on v5e);
+- this XLA formulation is the portable baseline: on TPU its gather is
+  slow (~0.14 Gelem/s, probe_r3) so the hot path is the routed Pallas
+  kernel (``ops/kernels/csr_route``) for both SpMV and SpMM, with the
+  bucketed gather plan and segment_sum forms as CPU/f64/traced-structure
+  fallbacks;
 - padding slots carry ``row_id == nrows`` (sentinel) and zero values, so
   ``segment_sum`` drops them for free;
 - ``row_ids`` are derived from ``rowptr`` once per structure and cached on
   the matrix? No — recomputed in-jit (one searchsorted over nse, fused).
-
-For SpMM the same pipeline gathers rows of the dense RHS. A Pallas kernel
-path for large matrices lives in ``ops/kernels`` and is selected by
-:func:`spalinalg_tpu.config.Config.use_pallas` once it wins on-hardware.
 
 CSC operands are handled by the mirror identity (CSC of A is CSR of Aᵀ with
 the same arrays): ``A @ x`` scatters into rows — expressed as a segment_sum

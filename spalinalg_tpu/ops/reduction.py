@@ -1,12 +1,15 @@
-"""Scatter-free segmented reduction: the TPU answer to Gustavson's
-accumulator.
+"""Scatter-free segmented reduction via a host-built gather plan.
 
-Motivation (measured on TPU v5e): XLA gathers run at ~65 Gelem/s, but
-scatter-add / ``segment_sum`` crawls at ~0.1 Gnnz/s — scatters serialise on
-TPU. Every hot reduction in the framework (SpMV row sums, SpMM, SpGEMM
-output accumulation, BSR block-row sums) therefore runs through a
-**gather-only plan** built host-side per structure (SURVEY.md N1's "padded
-row-bucketing"):
+Motivation: XLA scatter-add / unsorted ``segment_sum`` serialise on TPU
+(~0.1 Gnnz/s); this plan replaces them with gathers + dense ``sum``
+reductions. Caveat measured in round 3 (tools/probe_r3_results.jsonl):
+XLA dynamic gathers are *also* slow on this chip (~0.14 Gelem/s in every
+index shape), so this plan is the **portable XLA formulation** — better
+than scatter, still far off the roofline. Hot TPU paths route around it
+entirely with in-kernel lane gathers (``kernels/csr_route.py``,
+``kernels/pair_route.py``); this plan remains the CPU-backend path, the
+f64 path, and the fallback when no routing plan fits. The layout
+(SURVEY.md N1's "padded row-bucketing"):
 
 1. Groups (e.g. CSR rows) are padded to power-of-2 widths and binned into
    buckets; each bucket is a dense ``(R_b, W)`` gather-index matrix into the

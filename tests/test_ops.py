@@ -171,15 +171,14 @@ class TestSpgemm:
             seg = ind[ptr[r]:ptr[r + 1]]
             assert np.all(np.diff(seg) > 0)
 
-    def test_tpu_numeric_routed_formulation(self, rng):
-        """The TPU numeric path (two unit-valued routed gathers + the
-        gather-only segment reduce) must agree with scipy. Exercised in
-        interpret mode on CPU (the compiled dispatch requires TPU)."""
+    def test_tpu_numeric_pair_route_formulation(self, rng):
+        """The TPU numeric path (paired routed-gather kernel) must agree
+        with scipy. Exercised in interpret mode on CPU (the compiled
+        dispatch requires TPU)."""
         import scipy.sparse as sps
 
         from spalinalg_tpu import spgemm_plan
-        from spalinalg_tpu.ops.kernels.csr_route import route_spmv
-        from spalinalg_tpu.ops.reduction import segment_reduce
+        from spalinalg_tpu.ops.kernels.pair_route import pair_route_apply
 
         A = sps.random(300, 250, 0.04, random_state=3).tocsr()
         B = sps.random(250, 280, 0.04, random_state=4).tocsr()
@@ -189,11 +188,10 @@ class TestSpgemm:
         b = CsrMatrix(250, 280, B.indptr, B.indices,
                       B.data.astype(np.float32))
         plan = spgemm_plan(a, b)
-        pa, pb, rp = plan._tpu_numeric(a.nnz, b.nnz)
-        assert pa is not None
-        u = route_spmv(pa, a.values, interpret=True)
-        w = route_spmv(pb, b.values, interpret=True)
-        vals = np.asarray(segment_reduce(rp, u * w)[: plan.n_out])
+        pr = plan._tpu_numeric(a.nnz, b.nnz)
+        assert pr is not None
+        vals = np.asarray(pair_route_apply(
+            pr, a.values, b.values, interpret=True)[: plan.n_out])
         C = (A @ B).tocsr()
         C.sort_indices()
         np.testing.assert_allclose(vals, C.data.astype(np.float32),

@@ -328,14 +328,78 @@ def exp_spgemm():
          "build_s": round(t_pr, 2)})
     av0 = a.values
 
-    def pair(av):
-        y = pair_route_apply(pr, av, av0)
-        return av * (1.0 + jnp.sum(y) * 1e-12)
+    # tables threaded as jit ARGUMENTS (closure constants of this size
+    # break the remote-compile transport: HTTP 413)
+    @partial(jax.jit, static_argnames=("k",))
+    def sploop(FPA, FPB, av, k):
+        def it(i, acar):
+            y = pair_route_apply(pr, acar, av0, tables=(FPA, FPB))
+            return acar * (1.0 + jnp.sum(y) * 1e-12)
+        return jax.lax.fori_loop(0, k, it, av)
 
-    per2, diag2 = measure(pair, av0, ks=(8, 40, 72))
+    def timed(k):
+        _ = float(sploop(pr.FPA, pr.FPB,
+                         av0 * np.float32(1 + next_seed()), k=k)[0])
+        best = None
+        for _r in range(3):
+            xs = av0 * np.float32(1 + next_seed())
+            t0 = time.perf_counter()
+            _ = float(sploop(pr.FPA, pr.FPB, xs, k=k)[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    seedc = [100]
+
+    def next_seed():
+        seedc[0] += 1
+        return seedc[0] * 1e-6
+
+    totals = {k: timed(k) for k in (8, 40, 72)}
+    kl = sorted(totals)
+    slopes = sorted((totals[kl[j]] - totals[kl[i]]) / (kl[j] - kl[i])
+                    for i in range(3) for j in range(i + 1, 3))
+    per2 = slopes[1]
     log({"exp": "spgemm", "part": "pair_route", "n_terms": n_terms,
+         "nvr": int(pr.vrow_src.size),
+         "totals": {str(k): round(v, 4) for k, v in totals.items()},
          "ms": round(per2 * 1e3, 3),
-         "gterms_s": round(n_terms / per2 / 1e9, 4), "diag": diag2})
+         "gterms_s": round(n_terms / per2 / 1e9, 4)})
+
+    # kernel-only (no vrow/spill tails): isolates the XLA tail cost
+    from spalinalg_tpu.ops.kernels.pair_route import _pair_call
+
+    @partial(jax.jit, static_argnames=("k",))
+    def kloop(FPA, FPB, av, k):
+        def it(i, acar):
+            y = _pair_call(FPA, FPB, acar, av0, K=pr.K, R=pr.R, T=pr.T,
+                           S=pr.S, RPP=pr.RPP, nnz_a=pr.nnz_a,
+                           nnz_b=pr.nnz_b)
+            return acar * (1.0 + jnp.sum(y) * 1e-12)
+        return jax.lax.fori_loop(0, k, it, av)
+
+    def ktimed(k):
+        _ = float(kloop(pr.FPA, pr.FPB,
+                        av0 * np.float32(1 + next_seed()), k=k)[0])
+        best = None
+        for _r in range(3):
+            xs = av0 * np.float32(1 + next_seed())
+            t0 = time.perf_counter()
+            _ = float(kloop(pr.FPA, pr.FPB, xs, k=k)[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    ktot = {k: ktimed(k) for k in (8, 40, 72)}
+    ks_ = sorted(ktot)
+    kslopes = sorted((ktot[ks_[j]] - ktot[ks_[i]]) / (ks_[j] - ks_[i])
+                     for i in range(3) for j in range(i + 1, 3))
+    perk = kslopes[1]
+    log({"exp": "spgemm", "part": "pair_kernel_only",
+         "n_terms": n_terms,
+         "totals": {str(k): round(v, 4) for k, v in ktot.items()},
+         "ms": round(perk * 1e3, 3),
+         "gterms_s": round(n_terms / perk / 1e9, 4)})
 
     # current fallback (1-D) — single timed call, it is known-slow
     av = a.values * np.float32(1.000001)
@@ -352,8 +416,42 @@ def exp_spgemm():
          "gterms_s": round(n_terms / t1 / 1e9, 5)})
 
 
+def exp_ship():
+    """H2D transfer rate through the relay (sizes that matter)."""
+    for mb in (8, 32, 128):
+        x = np.random.default_rng(0).integers(
+            0, 100, size=mb * 1024 * 1024 // 4).astype(np.int32)
+        t0 = time.perf_counter()
+        d = jnp.asarray(x)
+        jax.block_until_ready(d)
+        dt = time.perf_counter() - t0
+        log({"exp": "ship", "mb": mb, "s": round(dt, 2),
+             "mb_s": round(mb / dt, 2)})
+        del d
+
+
+def exp_scatter():
+    """Sorted-index scatter-add: the SpGEMM tail primitive."""
+    rng = np.random.default_rng(0)
+    n_out = 1 << 21
+    for nv in (1 << 15, 1 << 17):
+        idx = np.sort(rng.integers(0, n_out, size=nv)).astype(np.int32)
+        vals0 = jnp.asarray(rng.normal(size=nv).astype(np.float32))
+        base0 = jnp.asarray(rng.normal(size=n_out).astype(np.float32))
+        ji = jnp.asarray(idx)
+
+        def body(v, base0=base0, ji=ji):
+            y = base0.at[ji].add(v, indices_are_sorted=True)
+            return v * (1.0 + jnp.sum(y) * 1e-12)
+
+        per, diag = measure(body, vals0, ks=(8, 40, 72))
+        log({"exp": "scatter", "nv": nv, "ms": round(per * 1e3, 3),
+             "gelem_s": round(nv / per / 1e9, 4), "diag": diag})
+
+
 EXPS = {"bsr": exp_bsr, "bf16": exp_bf16, "gather": exp_gather,
-        "csr": exp_csr, "spmm": exp_spmm, "spgemm": exp_spgemm}
+        "csr": exp_csr, "spmm": exp_spmm, "spgemm": exp_spgemm,
+        "ship": exp_ship, "scatter": exp_scatter}
 
 
 def main():
