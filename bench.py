@@ -108,7 +108,7 @@ def _measure(body, x0, *, ks, reps=3, max_rate=None, tries=3,
 
 
 def _emit(name, *, nnz=None, per=None, diag=None, roof_rate=None,
-          unit="nnz/s", path=None, extra=None):
+          unit="nnz/s", path=None, frac_key=None, extra=None):
     """Record one secondary metric (stderr log + dict entries)."""
     rec = {}
     if per is None:
@@ -119,7 +119,7 @@ def _emit(name, *, nnz=None, per=None, diag=None, roof_rate=None,
         rate = nnz / per
         rec[name] = round(rate, 1)
         if roof_rate:
-            rec[name.rsplit("_", 2)[0] + "_roofline_frac"] = round(
+            rec[frac_key or name + "_roofline_frac"] = round(
                 rate / roof_rate, 4)
         pct = f" ({100*rate/roof_rate:.1f}% of roofline)" if roof_rate else ""
         print(f"[bench] {name} path={path} {per*1e3:.3f} ms/it -> "
@@ -472,6 +472,7 @@ def main() -> None:
                              max_rate=roof / hnnz if on_tpu else None)
         secondary.update(_emit("bsr_banded_spmv_bf16_nnz_per_s", nnz=hnnz,
                                per=per, diag=diag, roof_rate=roof,
+                               frac_key="bsr_bf16_roofline_frac",
                                path=_bsr_path(hb, hx)))
     except Exception as e:
         print(f"[bench] bsr_bf16 failed: {e!r}", file=sys.stderr)
@@ -489,10 +490,13 @@ def main() -> None:
                                        dtype=np.float32)
         dx = jnp.asarray(rng.normal(size=n).astype(np.float32))
         roof = hbm / 4.0
-        per, diag = _measure(lambda v: dia @ v, dx, ks=ks_big, reps=reps,
+        # DIA iterations are ~30 us — loop far past the dispatch jitter
+        ks_dia = (512, 2560, 4608) if on_tpu else (1, 2, 3)
+        per, diag = _measure(lambda v: dia @ v, dx, ks=ks_dia, reps=reps,
                              max_rate=roof / dia.nnz if on_tpu else None)
         secondary.update(_emit("dia_banded_spmv_nnz_per_s", nnz=dia.nnz,
                                per=per, diag=diag, roof_rate=roof,
+                               frac_key="dia_roofline_frac",
                                path="xla_stream"))
     except Exception as e:
         print(f"[bench] dia failed: {e!r}", file=sys.stderr)
@@ -505,6 +509,7 @@ def main() -> None:
                              max_rate=roof / cnnz if on_tpu else None)
         secondary.update(_emit("csr_random_spmv_nnz_per_s", nnz=cnnz,
                                per=per, diag=diag, roof_rate=roof,
+                               frac_key="csr_roofline_frac",
                                path=_csr_path(csr, cx)))
     except Exception as e:
         print(f"[bench] csr_random failed: {e!r}", file=sys.stderr)
@@ -570,6 +575,7 @@ def main() -> None:
                                  max_rate=roof / cnnz64 if on_tpu else None)
             secondary.update(_emit("csr_f64_spmv_nnz_per_s", nnz=cnnz64,
                                    per=per, diag=diag, roof_rate=roof,
+                                   frac_key="csr_f64_roofline_frac",
                                    path=_csr_path(csr64, cx64)))
     except Exception as e:
         print(f"[bench] csr_f64 failed: {e!r}", file=sys.stderr)

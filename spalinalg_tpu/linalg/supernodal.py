@@ -237,13 +237,8 @@ def _factor_bucket(F, *, B, nsp, mup):
     return panel, U
 
 
-def supernodal_factor(plan: SupernodalPlan, values: jax.Array
-                      ) -> SupernodalFactor:
-    """Numeric factorization: batched partial Cholesky per level bucket.
-
-    ``values`` is the (postordered) matrix's CSR value array; only
-    lower-triangle entries are read (via the plan's ``a_src``)."""
-    values = jnp.asarray(values)
+def _factor_all(plan: SupernodalPlan, values: jax.Array):
+    """The whole numeric phase as one traced computation (all buckets)."""
     panels: Dict[Tuple[int, int], jax.Array] = {}
     updates: Dict[Tuple[int, int], jax.Array] = {}
     for l, buckets in enumerate(plan.levels):
@@ -259,6 +254,24 @@ def supernodal_factor(plan: SupernodalPlan, values: jax.Array
             panel, U = _factor_bucket(F, B=B, nsp=nsp, mup=mup)
             panels[(l, bi)] = panel
             updates[(l, bi)] = U
+    return panels
+
+
+def supernodal_factor(plan: SupernodalPlan, values: jax.Array
+                      ) -> SupernodalFactor:
+    """Numeric factorization: batched partial Cholesky per level bucket.
+
+    ``values`` is the (postordered) matrix's CSR value array; only
+    lower-triangle entries are read (via the plan's ``a_src``). The
+    whole level sweep is compiled as ONE program per plan (cached on
+    the plan): per-bucket dispatch cost — 100s of launches on a
+    remote-attached device — dominated the numeric phase otherwise."""
+    values = jnp.asarray(values)
+    fn = getattr(plan, "_factor_jit", None)
+    if fn is None:
+        fn = jax.jit(partial(_factor_all, plan))
+        plan._factor_jit = fn
+    panels = fn(values)
     return SupernodalFactor(plan=plan, panels=panels, dtype=values.dtype)
 
 
@@ -290,19 +303,32 @@ def _bwd_bucket(w, panel, colg, rowg, *, nsp):
     return w.at[colg].set(x1)
 
 
-def supernodal_solve(fac: SupernodalFactor, b: jax.Array) -> jax.Array:
-    """Solve ``A x = b`` (in the plan's postordered coordinates)."""
-    plan = fac.plan
+def _solve_all(plan: SupernodalPlan, panels, b):
     n = plan.n
-    w = jnp.zeros(n + 1, fac.dtype).at[:n].set(jnp.asarray(b, fac.dtype))
+    dtype = next(iter(panels.values())).dtype if panels else b.dtype
+    w = jnp.zeros(n + 1, dtype).at[:n].set(jnp.asarray(b, dtype))
     for l, buckets in enumerate(plan.levels):
         for bi, bk in enumerate(buckets):
-            w = _fwd_bucket(w, fac.panels[(l, bi)],
+            w = _fwd_bucket(w, panels[(l, bi)],
                             jnp.asarray(bk.colg), jnp.asarray(bk.rowg),
                             nsp=bk.nsp)
     for l in range(len(plan.levels) - 1, -1, -1):
         for bi, bk in enumerate(plan.levels[l]):
-            w = _bwd_bucket(w, fac.panels[(l, bi)],
+            w = _bwd_bucket(w, panels[(l, bi)],
                             jnp.asarray(bk.colg), jnp.asarray(bk.rowg),
                             nsp=bk.nsp)
     return w[:n]
+
+
+def supernodal_solve(fac: SupernodalFactor, b: jax.Array) -> jax.Array:
+    """Solve ``A x = b`` (in the plan's postordered coordinates).
+
+    Both triangular sweeps compile as ONE program per plan (cached),
+    with the factor panels as arguments — per-bucket dispatch cost
+    dominated the solve otherwise."""
+    plan = fac.plan
+    fn = getattr(plan, "_solve_jit", None)
+    if fn is None:
+        fn = jax.jit(partial(_solve_all, plan))
+        plan._solve_jit = fn
+    return fn(fac.panels, b)

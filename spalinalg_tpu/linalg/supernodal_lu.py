@@ -339,17 +339,8 @@ def _lu_factor_bucket(F, *, B, nsp, mup, perturb, use_xla_lu=True):
     return lu11, perm, L21, U12, schur
 
 
-def supernodal_lu_factor(plan: SupernodalLuPlan, values: jax.Array,
-                         *, perturb: bool = False) -> SupernodalLuFactor:
-    """Numeric LU: batched restricted-pivoting dense LU per level bucket.
-
-    ``values`` is the value array of the postordered SYMMETRIZED matrix
-    (entries absent from A hold zero — see
-    :func:`map_values_to_structure`)."""
-    values = jnp.asarray(values)
-    # XLA's LuDecomposition op is f32/c64-only on TPU backends
-    use_xla_lu = (values.dtype == jnp.float32
-                  or jax.default_backend() == "cpu")
+def _lu_factor_all(plan: SupernodalLuPlan, perturb: bool,
+                   use_xla_lu: bool, values: jax.Array):
     lu11: Dict[Tuple[int, int], jax.Array] = {}
     perm11: Dict[Tuple[int, int], jax.Array] = {}
     l21: Dict[Tuple[int, int], jax.Array] = {}
@@ -373,6 +364,32 @@ def supernodal_lu_factor(plan: SupernodalLuPlan, values: jax.Array,
             l21[(l, bi)] = l21_b
             u12[(l, bi)] = u12_b
             updates[(l, bi)] = schur
+    return lu11, perm11, l21, u12
+
+
+def supernodal_lu_factor(plan: SupernodalLuPlan, values: jax.Array,
+                         *, perturb: bool = False) -> SupernodalLuFactor:
+    """Numeric LU: batched restricted-pivoting dense LU per level bucket.
+
+    ``values`` is the value array of the postordered SYMMETRIZED matrix
+    (entries absent from A hold zero — see
+    :func:`map_values_to_structure`). The whole level sweep compiles as
+    ONE program per (plan, perturb) — per-bucket dispatch cost
+    dominates on remote-attached devices otherwise."""
+    values = jnp.asarray(values)
+    # XLA's LuDecomposition op is f32/c64-only on TPU backends
+    use_xla_lu = (values.dtype == jnp.float32
+                  or jax.default_backend() == "cpu")
+    cache = getattr(plan, "_factor_jit", None)
+    if cache is None:
+        cache = {}
+        plan._factor_jit = cache
+    key = (bool(perturb), use_xla_lu)
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_lu_factor_all, plan, *key))
+        cache[key] = fn
+    lu11, perm11, l21, u12 = fn(values)
     return SupernodalLuFactor(plan=plan, lu11=lu11, perm11=perm11,
                               l21=l21, u12=u12, dtype=values.dtype)
 
@@ -402,19 +419,30 @@ def _lu_bwd_bucket(w, lu11, u12, colg, rowg, *, nsp):
     return w.at[colg].set(x1)
 
 
-def supernodal_lu_solve(fac: SupernodalLuFactor, b: jax.Array) -> jax.Array:
-    """Solve ``A x = b`` (in the plan's postordered coordinates)."""
-    plan = fac.plan
+def _lu_solve_all(plan: SupernodalLuPlan, lu11, perm11, l21, u12, b):
     n = plan.n
-    w = jnp.zeros(n + 1, fac.dtype).at[:n].set(jnp.asarray(b, fac.dtype))
+    dtype = next(iter(lu11.values())).dtype if lu11 else b.dtype
+    w = jnp.zeros(n + 1, dtype).at[:n].set(jnp.asarray(b, dtype))
     for l, buckets in enumerate(plan.levels):
         for bi, bk in enumerate(buckets):
-            w = _lu_fwd_bucket(w, fac.lu11[(l, bi)], fac.perm11[(l, bi)],
-                               fac.l21[(l, bi)], jnp.asarray(bk.colg),
+            w = _lu_fwd_bucket(w, lu11[(l, bi)], perm11[(l, bi)],
+                               l21[(l, bi)], jnp.asarray(bk.colg),
                                jnp.asarray(bk.rowg), nsp=bk.nsp)
     for l in range(len(plan.levels) - 1, -1, -1):
         for bi, bk in enumerate(plan.levels[l]):
-            w = _lu_bwd_bucket(w, fac.lu11[(l, bi)], fac.u12[(l, bi)],
+            w = _lu_bwd_bucket(w, lu11[(l, bi)], u12[(l, bi)],
                                jnp.asarray(bk.colg), jnp.asarray(bk.rowg),
                                nsp=bk.nsp)
     return w[:n]
+
+
+def supernodal_lu_solve(fac: SupernodalLuFactor, b: jax.Array) -> jax.Array:
+    """Solve ``A x = b`` (in the plan's postordered coordinates).
+
+    Both triangular sweeps compile as ONE program per plan (cached)."""
+    plan = fac.plan
+    fn = getattr(plan, "_solve_jit", None)
+    if fn is None:
+        fn = jax.jit(partial(_lu_solve_all, plan))
+        plan._solve_jit = fn
+    return fn(fac.lu11, fac.perm11, fac.l21, fac.u12, b)

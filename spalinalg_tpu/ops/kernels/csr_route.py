@@ -682,31 +682,44 @@ _route_spmv_ad.defvjp(_route_spmv_ad_fwd, _route_spmv_ad_bwd)
 # ---------------------------------------------------------------------
 
 
-def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol):
+def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol,
+                       chunk):
     s = pl.program_id(1)
     fp = fp_ref[0]
     v = v_ref[0]
-    for c in range(ncol):
-        X2 = x_ref[0, c]
+    # Column chunking batches the lane gathers: one (chunk*128, 128)
+    # take replaces `chunk` small (128,128) takes — per-step op count,
+    # not gathered elements, bounds this kernel (probe_r3: 768 takes
+    # per step at ncol=64 measured take-issue-bound).
+    for c0 in range(0, ncol, chunk):
+        X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
+        Xr = X3.reshape(chunk * _BLK, _LANE)
         zs = []
         for d in range(_D):
             b = slice(d * _BLK, (d + 1) * _BLK)
             fpb = fp[b]
-            H = _take_lane(X2, fpb & jnp.int32(0xFF))
-            Sm = _take_lane(H.T, (fpb >> jnp.int32(8)) & jnp.int32(0xFF))
-            zs.append(_take_lane(Sm.T, fpb >> jnp.int32(16)))
-        P = jnp.concatenate(zs, axis=0) * v
-        acc = jnp.zeros((R, _LANE), jnp.float32)
+            i1 = jnp.tile(fpb & jnp.int32(0xFF), (chunk, 1))
+            H = _take_lane(Xr, i1).reshape(chunk, _BLK, _LANE)
+            Ht = jnp.swapaxes(H, 1, 2).reshape(chunk * _BLK, _LANE)
+            i2 = jnp.tile((fpb >> jnp.int32(8)) & jnp.int32(0xFF),
+                          (chunk, 1))
+            Sm = _take_lane(Ht, i2).reshape(chunk, _BLK, _LANE)
+            St = jnp.swapaxes(Sm, 1, 2).reshape(chunk * _BLK, _LANE)
+            i3 = jnp.tile(fpb >> jnp.int32(16), (chunk, 1))
+            Z = _take_lane(St, i3).reshape(chunk, _BLK, _LANE)
+            zs.append(Z * v[b][None])
+        P = jnp.concatenate(zs, axis=1)               # (CH, 512, 128)
+        acc = jnp.zeros((chunk, R, _LANE), jnp.float32)
         for k in range(K_ell):
-            acc = acc + P[k * R:(k + 1) * R]
+            acc = acc + P[:, k * R:(k + 1) * R]
 
         @pl.when(s == jnp.int32(0))
         def _():
-            o_ref[0, c] = acc
+            o_ref[0, c0:c0 + chunk] = acc
 
         @pl.when(s != jnp.int32(0))
         def _():
-            o_ref[0, c] = o_ref[0, c] + acc
+            o_ref[0, c0:c0 + chunk] = o_ref[0, c0:c0 + chunk] + acc
 
 
 @partial(jax.jit, static_argnames=("K_ell", "R", "T", "S", "RPP", "ncol",
@@ -725,8 +738,14 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
     stream = lambda: pl.BlockSpec(
         (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
+    # chunk > 1 batches the lane gathers across RHS columns but must
+    # materialise the index tiles per chunk (Mosaic has no 3-D batched
+    # gather); measured on v5e the copies cost more than the saved
+    # take issues (3.2 ms vs 1.6 ms at ncol=64), so stay per-column.
+    chunk = 1
     fn = pl.pallas_call(
-        partial(_route_spmm_kernel, K_ell=K_ell, R=R, ncol=ncol),
+        partial(_route_spmm_kernel, K_ell=K_ell, R=R, ncol=ncol,
+                chunk=chunk),
         grid=(T, S),
         in_specs=[
             pl.BlockSpec((1, ncol, _BLK, _LANE),

@@ -68,6 +68,9 @@ class PairRoutePlan:
     FPA: jax.Array          # (T*S, 512, 128) i32
     FPB: jax.Array          # (T*S, 512, 128) i32
     vrow_src: np.ndarray    # (n_virtual,) real output slot per virtual row
+    # coloring-retry regions: terms recolored in fresh tail pages;
+    # each entry adds yr[start:start+len] into y at `gids`
+    retry: list
     spill: Tuple[np.ndarray, np.ndarray, np.ndarray]  # gid, a_idx, b_idx
     spill_frac: float
 
@@ -128,21 +131,23 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
         raise ValueError("pair route tables would exceed memory budget")
 
-    t_r = dest_row // RPP
-    lr = dest_row % RPP
-    # Interleaved slot layout: consecutive output slots advance the
-    # SUBLANE (sdest), not the lane — lr = l*R + r. Consecutive gids'
-    # terms have correlated sources (one A row / one B row feeds runs
-    # of consecutive slots); packing them into one dest sublane made
-    # that sublane's 128-color matching near-perfect-rainbow and spill
-    # ~9 % (probe_r3). Striding them across sublanes decorrelates every
-    # coloring group (measured spill after: <1 %).
-    sdest = kk * R + lr % R
-    l_r = lr // R
-    d_r = sdest // _BLK
-    sdb = sdest % _BLK
+    def slot_geom(rows, kk_s):
+        """Dest-slot coordinates for given dest rows.
 
-    def route(idx):
+        Interleaved slot layout: consecutive output slots advance the
+        SUBLANE (sdest), not the lane — lr = l*R + r. Consecutive
+        gids' terms have correlated sources (one A row / one B row
+        feeds runs of consecutive slots); packing them into one dest
+        sublane made that sublane's 128-color matching near-perfect-
+        rainbow and spill ~9 % (probe_r3). Striding across sublanes
+        decorrelates every coloring group."""
+        t_r = rows // RPP
+        lr = rows % RPP
+        sdest = kk_s * R + lr % R
+        l_r = lr // R
+        return t_r, sdest, l_r, sdest // _BLK, sdest % _BLK
+
+    def color(idx, t_r, d_r, sdb):
         sl = idx // _SLICE_COLS
         cl = idx % _SLICE_COLS
         rr = cl % _LANE            # source row (col-major window)
@@ -153,32 +158,64 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
         m, ok = _color_all(grp, forb, lc, rng)
         return sl, rr, lc, m, ok
 
-    sl_a, rr_a, lc_a, m_a, ok_a = route(a_idx)
-    sl_b, rr_b, lc_b, m_b, ok_b = route(b_idx)
-    ok = ok_a & ok_b
+    # Coloring rounds: terms that fail the first coloring retry in
+    # fresh tail rows on fresh pages (disjoint coloring spaces), so
+    # their products ride the kernel + one slice-scatter instead of
+    # the far costlier XLA gather-gather-scatter spill path. Residual
+    # failures after the rounds become true spills.
+    placed = []            # (term_idx, t_r, sdest, l_r, per-route data)
+    retry = []             # (tail_row_start_in_yr, gids) per round
+    cur = np.arange(n_terms, dtype=np.int64)
+    rows_cur = dest_row
+    kk_cur = kk
+    next_row = -(-nrows_tot // RPP) * RPP
+    for _round in range(3):
+        t_r, sdest, l_r, d_r, sdb = slot_geom(rows_cur, kk_cur)
+        ra = color(a_idx[cur], t_r, d_r, sdb)
+        rb = color(b_idx[cur], t_r, d_r, sdb)
+        ok = ra[4] & rb[4]
+        g = np.flatnonzero(ok)
+        placed.append((cur[g], t_r[g], sdest[g], l_r[g],
+                       tuple(x[g] for x in ra[:4]),
+                       tuple(x[g] for x in rb[:4])))
+        bad = np.flatnonzero(~ok)
+        if bad.size == 0 or _round == 2:
+            cur = cur[bad]
+            break
+        retry.append((next_row, gid[cur[bad]]))
+        rows_cur = next_row + np.arange(bad.size, dtype=np.int64)
+        kk_cur = np.zeros(bad.size, np.int64)
+        cur = cur[bad]
+        next_row = -(-(next_row + bad.size) // RPP) * RPP
 
-    def tables(sl, rr, lc, m, g):
-        F1 = np.zeros((T * S, _H, _LANE), np.int32)
-        F2 = np.zeros((T * S, _H, _LANE), np.int32)
-        F3 = np.zeros((T * S, _H, _LANE), np.int32)
-        MK = np.zeros((T * S, _H, _LANE), np.int32)
-        page = t_r[g] * S + sl[g]
-        F1[page, d_r[g] * _BLK + rr[g], m[g]] = lc[g]
-        F2[page, d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
-        F3[page, d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
-        MK[page, sdest[g], l_r[g]] = 1
-        return F1 | (F2 << 8) | (F3 << 16) | (MK << 24)
+    rows_used = (retry[-1][0] + retry[-1][1].size) if retry else nrows_tot
+    T = max(T, -(-rows_used // RPP))
+    if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
+        raise ValueError("pair route tables would exceed memory budget")
 
-    FPA = tables(sl_a, rr_a, lc_a, m_a, ok)
-    FPB = tables(sl_b, rr_b, lc_b, m_b, ok)
+    def tables(route_sel):
+        F = np.zeros((T * S, _H, _LANE), np.int32)
+        for rec in placed:
+            _idx, t_r, sdest, l_r = rec[0], rec[1], rec[2], rec[3]
+            sl, rr, lc, m = rec[4] if route_sel == 0 else rec[5]
+            d_r = sdest // _BLK
+            sdb = sdest % _BLK
+            page = t_r * S + sl
+            F[page, d_r * _BLK + rr, m] |= lc
+            F[page, d_r * _BLK + m, sdb] |= rr << 8
+            F[page, d_r * _BLK + sdb, l_r] |= (m << 16) | (1 << 24)
+        return F
+
+    FPA = tables(0)
+    FPB = tables(1)
 
     return PairRoutePlan(
         n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
         K=K, R=R, T=T, S=S, RPP=RPP,
         FPA=jnp.asarray(FPA), FPB=jnp.asarray(FPB),
-        vrow_src=vrow_src,
-        spill=(gid[~ok], a_idx[~ok], b_idx[~ok]),
-        spill_frac=float((~ok).sum() / max(n_terms, 1)),
+        vrow_src=vrow_src, retry=retry,
+        spill=(gid[cur], a_idx[cur], b_idx[cur]),
+        spill_frac=float(cur.size / max(n_terms, 1)),
     )
 
 
@@ -224,6 +261,8 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
     nvr = plan.vrow_src.size
     if nvr:
         np.add.at(out, plan.vrow_src, yr[plan.n_out: plan.n_out + nvr])
+    for start, gids in plan.retry:
+        np.add.at(out, gids, yr[start: start + gids.size])
     return out
 
 
@@ -244,14 +283,20 @@ def _pair_kernel(xa_ref, xb_ref, fpa_ref, fpb_ref, o_ref, za, zb,
     Xa = xa_ref[...]
     Xb = xb_ref[...]
     for fp_ref, X, z in ((fpa_ref, Xa, za), (fpb_ref, Xb, zb)):
-        for d in range(_D):
-            b = slice(d * _BLK, (d + 1) * _BLK)
-            fp = fp_ref[0][b]
-            H = _take_lane(X, fp & jnp.int32(0xFF))
-            Sm = _take_lane(H.T, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
-            Z = _take_lane(Sm.T, (fp >> jnp.int32(16)) & jnp.int32(0xFF))
-            mk = (fp >> jnp.int32(24)).astype(jnp.float32)
-            z[b] = z[b] + Z * mk
+        fp = fp_ref[0]                                   # (512, 128)
+        # stage 1 batches all 4 dest blocks in one lane gather: the
+        # source tile is replicated per block (per-step op count is
+        # what bounds this kernel — 931 pages x many small takes)
+        Xr = jnp.concatenate([X] * _D, axis=0)           # (512, 128)
+        H = _take_lane(Xr, fp & jnp.int32(0xFF))
+        H = H.reshape(_D, _BLK, _LANE)
+        Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
+        Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
+        Sm = Sm.reshape(_D, _BLK, _LANE)
+        St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
+        Z = _take_lane(St, (fp >> jnp.int32(16)) & jnp.int32(0xFF))
+        mk = (fp >> jnp.int32(24)).astype(jnp.float32)
+        z[...] = z[...] + Z * mk
 
     @pl.when(s == jnp.int32(S - 1))
     def _():
@@ -319,6 +364,8 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
     if nvr:
         y = y.at[jnp.asarray(plan.vrow_src)].add(
             yr[plan.n_out: plan.n_out + nvr])
+    for start, gids in plan.retry:
+        y = y.at[jnp.asarray(gids)].add(yr[start: start + gids.size])
     sp_g, sp_a, sp_b = plan.spill
     if sp_g.size:
         contrib = (a_vals.astype(jnp.float32)[jnp.asarray(sp_a)]

@@ -78,6 +78,11 @@ class DistCsr:
     rowptr: jax.Array       # (P, rows_per_shard + 1) int32, sharded on axis 0
     colind: jax.Array       # (P, nse_per_shard) int32 — GLOBAL column ids
     values: jax.Array       # (P, nse_per_shard)
+    brow: jax.Array         # (P, nse_per_shard) int32 local row id per
+                            # entry (pad slots -> rows_per_shard); static
+                            # per structure so the hot kernels never
+                            # rebuild it (a per-call searchsorted sort
+                            # cost 40x on the CPU-mesh probe)
     mesh: Mesh
     axis: str
     comm: str               # "allgather" | "halo"
@@ -182,17 +187,17 @@ class DistCsr:
                              axis=self.axis)
 
     def tree_flatten(self):
-        return (self.rowptr, self.colind, self.values), (
+        return (self.rowptr, self.colind, self.values, self.brow), (
             self.nrows, self.ncols, self.rows_per_shard, self.mesh,
             self.axis, self.comm, self.halo_width,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        rowptr, colind, values = children
+        rowptr, colind, values, brow = children
         nrows, ncols, rps, mesh, axis, comm, halo = aux
-        return cls(nrows, ncols, rps, rowptr, colind, values, mesh, axis,
-                   comm, halo)
+        return cls(nrows, ncols, rps, rowptr, colind, values, brow, mesh,
+                   axis, comm, halo)
 
 
 jax.tree_util.register_pytree_node(
@@ -238,6 +243,7 @@ def partition_csr(
     rp = np.zeros((P_, rows_per + 1), dtype=np.int64)
     ci = np.zeros((P_, local_nse), dtype=np.int64)
     vv = np.zeros((P_, local_nse), dtype=vals.dtype)
+    br = np.full((P_, local_nse), rows_per, dtype=np.int64)
     halo = 0
     for p in range(P_):
         r0, r1 = int(row_starts[p]), int(row_starts[p + 1])
@@ -247,6 +253,8 @@ def partition_csr(
         rp[p, n_loc_rows + 1 :] = e1 - e0  # padded rows are empty
         ci[p, : e1 - e0] = minor[e0:e1]
         vv[p, : e1 - e0] = vals[e0:e1]
+        br[p, : e1 - e0] = np.repeat(
+            np.arange(n_loc_rows, dtype=np.int64), np.diff(ptr[r0:r1 + 1]))
         if e1 > e0:
             lo = int(minor[e0:e1].min()) - r0
             hi = int(minor[e0:e1].max()) - (r1 - 1)
@@ -264,6 +272,7 @@ def partition_csr(
         rowptr=jax.device_put(jnp.asarray(rp, dtype=INDEX_DTYPE), spec_row),
         colind=jax.device_put(jnp.asarray(ci, dtype=INDEX_DTYPE), spec_row),
         values=jax.device_put(jnp.asarray(vv), spec_row),
+        brow=jax.device_put(jnp.asarray(br, dtype=INDEX_DTYPE), spec_row),
         mesh=mesh,
         axis=axis,
         comm=comm,

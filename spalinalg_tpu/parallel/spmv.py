@@ -56,18 +56,13 @@ def unshard_vector(y: jax.Array, dist: DistCsr) -> jax.Array:
     return y[: dist.nrows]
 
 
-def _local_spmv(rowptr, colind, values, x_local_cols, nrows_local):
+def _local_spmv(rows, colind, values, x_local_cols, nrows_local):
     """Per-device CSR×dense on the local block; colind already localised.
 
-    Uses the sorted-``segment_sum`` formulation (structure is traced inside
-    shard_map; the scatter-free plan path needs concrete structure and is
-    used by the single-chip API).
+    ``rows`` is the partition-time per-entry local row id (DistCsr.brow)
+    — rebuilding it per call from rowptr costs a full sort inside every
+    SpMV (measured 40x on the CPU-mesh probe).
     """
-    nse = colind.shape[0]
-    pos = jnp.arange(nse, dtype=jnp.int32)
-    rows = (
-        jnp.searchsorted(rowptr, pos, side="right", method="sort") - 1
-    ).astype(jnp.int32)
     safe_col = jnp.clip(colind, 0, x_local_cols.shape[0] - 1)
     prod = values * x_local_cols[safe_col]
     prod = jnp.where(colind == safe_col, prod, 0)
@@ -90,16 +85,16 @@ def dist_spmv(dist: DistCsr, x_sharded: jax.Array) -> jax.Array:
 
     if dist.comm == "allgather":
 
-        def kernel(rp, ci, vv, xl):
-            rp, ci, vv = rp[0], ci[0], vv[0]
+        def kernel(br, ci, vv, xl):
+            br, ci, vv = br[0], ci[0], vv[0]
             xg = jax.lax.all_gather(xl, axis, tiled=True)  # (ncols_padded,)
-            y = _local_spmv(rp, ci, vv, xg, rows_per)
+            y = _local_spmv(br, ci, vv, xg, rows_per)
             return y
 
     else:  # halo exchange via neighbour ppermute
 
-        def kernel(rp, ci, vv, xl):
-            rp, ci, vv = rp[0], ci[0], vv[0]
+        def kernel(br, ci, vv, xl):
+            br, ci, vv = br[0], ci[0], vv[0]
             p = jax.lax.axis_index(axis)
             n = jax.lax.axis_size(axis)
             h = min(halo, cols_per) if halo > 0 else 0
@@ -118,7 +113,7 @@ def dist_spmv(dist: DistCsr, x_sharded: jax.Array) -> jax.Array:
                 x_ext = xl
             # Localise global colind: offset of x_ext[0] is p*cols_per - h
             local_ci = ci - (p * cols_per - h)
-            y = _local_spmv(rp, ci * 0 + local_ci, vv, x_ext, rows_per)
+            y = _local_spmv(br, local_ci, vv, x_ext, rows_per)
             return y
 
     fn = shard_map(
@@ -127,15 +122,10 @@ def dist_spmv(dist: DistCsr, x_sharded: jax.Array) -> jax.Array:
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
         out_specs=P(axis),
     )
-    return fn(dist.rowptr, dist.colind, dist.values, x_sharded)
+    return fn(dist.brow, dist.colind, dist.values, x_sharded)
 
 
-def _local_spmm(rowptr, colind, values, X_local, nrows_local):
-    nse = colind.shape[0]
-    pos = jnp.arange(nse, dtype=jnp.int32)
-    rows = (
-        jnp.searchsorted(rowptr, pos, side="right", method="sort") - 1
-    ).astype(jnp.int32)
+def _local_spmm(rows, colind, values, X_local, nrows_local):
     safe_col = jnp.clip(colind, 0, X_local.shape[0] - 1)
     prod = values[:, None] * X_local[safe_col, :]
     prod = jnp.where((colind == safe_col)[:, None], prod, 0)
@@ -188,7 +178,7 @@ def dist_spmm(dist: DistCsr, X_sharded: jax.Array) -> jax.Array:
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
         out_specs=P(axis, None),
     )
-    return fn(dist.rowptr, dist.colind, dist.values, X_sharded)
+    return fn(dist.brow, dist.colind, dist.values, X_sharded)
 
 
 def shard_matrix_rows(X, dist: DistCsr, *, by: str = "cols") -> jax.Array:
