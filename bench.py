@@ -169,12 +169,9 @@ def _bsr_path(bsr, x) -> str:
         nbr = bsr.nrows // bsr.blocksize[0]
         if _v3_eligible(nbr, bsr.n_blocks, *bsr.blocksize, x.dtype,
                         bsr.data.dtype):
-            from spalinalg_tpu.ops.kernels import bsr_stream
+            from spalinalg_tpu.ops.kernels.bsr_stream import _resolve_group
 
-            from spalinalg_tpu.config import current_config
-
-            g = current_config().bsr_stream_group or bsr_stream._V3_GROUP
-            return f"pallas_v3_g{g}"
+            return f"pallas_v3_g{_resolve_group(None)}"
         return "pallas_v2"
     return "xla_einsum"
 
@@ -445,24 +442,31 @@ def main() -> None:
     reps = 4 if on_tpu else 1
 
     # ---- headline: f32 banded BSR ---------------------------------
-    bsr, x0, nnz_b = _make_bsr(512 if on_tpu else 8, "f32")
+    # A raised exception anywhere here must still end in the one-line
+    # JSON contract (the watchdog only covers hangs, not crashes).
     bsr_roof = hbm / 4.0  # minimal traffic: 4 B value / nnz
-    path = _bsr_path(bsr, x0)
-    per_b, diag_b = _measure(lambda v: bsr @ v, x0, ks=ks_big, reps=reps,
-                             max_rate=bsr_roof / nnz_b if on_tpu else None)
-    if per_b is None:
-        print(f"[bench] HEADLINE INVALID {diag_b}", file=sys.stderr)
-        bsr_rate = 0.0
-    else:
-        bsr_rate = nnz_b / per_b
+    bsr_rate = 0.0
+    try:
+        bsr, x0, nnz_b = _make_bsr(512 if on_tpu else 8, "f32")
+        path = _bsr_path(bsr, x0)
+        per_b, diag_b = _measure(
+            lambda v: bsr @ v, x0, ks=ks_big, reps=reps,
+            max_rate=bsr_roof / nnz_b if on_tpu else None)
+        if per_b is None:
+            print(f"[bench] HEADLINE INVALID {diag_b}", file=sys.stderr)
+        else:
+            bsr_rate = nnz_b / per_b
+        secondary["bsr_f32_path"] = path
+        secondary["bsr_f32_diag"] = diag_b
+        print(f"[bench] bsr_banded path={path} nnz={nnz_b} "
+              f"{(per_b or 0)*1e3:.3f} ms/spmv -> {bsr_rate/1e9:.2f} "
+              f"Gnnz/s ({100*bsr_rate/bsr_roof:.1f}% of "
+              f"{bsr_roof/1e9:.0f} Gnnz/s roofline)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] HEADLINE FAILED: {e!r}", file=sys.stderr)
+        secondary["bsr_f32_error"] = repr(e)[:200]
     _HEADLINE["value"] = round(bsr_rate, 1)
     _HEADLINE["vs_baseline"] = round(bsr_rate / (0.70 * bsr_roof), 4)
-    secondary["bsr_f32_path"] = path
-    secondary["bsr_f32_diag"] = diag_b
-    print(f"[bench] bsr_banded path={path} nnz={nnz_b} "
-          f"{(per_b or 0)*1e3:.3f} ms/spmv -> {bsr_rate/1e9:.2f} Gnnz/s "
-          f"({100*bsr_rate/bsr_roof:.1f}% of {bsr_roof/1e9:.0f} Gnnz/s "
-          f"roofline)", file=sys.stderr)
 
     # ---- bf16 BSR --------------------------------------------------
     try:

@@ -124,6 +124,11 @@ def lu(csr, *, reorder: bool = True, panel: int = 64,
     if method not in ("auto", "banded", "supernodal", "dense"):
         raise ValueError(f"unknown lu method {method!r}")
     if method == "supernodal":
+        if pivot:
+            raise ValueError(
+                "pivot=True requests full partial pivoting (GEPP), which "
+                "the supernodal path does not provide (it pivots within "
+                "supernode blocks); drop pivot=True or use method='dense'")
         return _supernodal_lu(csr, reorder=reorder, perturb=perturb)
     if pivot or n <= 2 or method == "dense":
         from jax.scipy.linalg import lu_factor

@@ -301,18 +301,23 @@ def _batched_pivoted_lu(A):
 
 @partial(jax.jit, static_argnames=("B", "nsp", "mup", "perturb",
                                    "use_xla_lu"))
-def _lu_factor_bucket(F, *, B, nsp, mup, perturb, use_xla_lu=True):
+def _lu_factor_bucket(F, scale, *, B, nsp, mup, perturb, use_xla_lu=True):
     mp = nsp + mup
     F = F.reshape(B, mp, mp)
     F11 = F[:, :nsp, :nsp]
     if perturb:
-        # static pivoting safeguard: lift tiny diagonals to
-        # sqrt(eps)·max|F11| (SuperLU-DIST stance; refine afterwards)
-        scale = jnp.max(jnp.abs(F11), axis=(1, 2), keepdims=False)
+        # Static pivoting safeguard: lift tiny diagonals to
+        # sqrt(eps)·scale (SuperLU-DIST stance; refine afterwards).
+        # ``scale`` is the OPERAND's max |value| — the per-block max
+        # would include the artificial 1.0 pad diagonals, turning the
+        # relative threshold absolute and corrupting small-magnitude
+        # matrices (confirmed: rel. error ~1 on a 1e-6-scaled system).
         eps = jnp.sqrt(jnp.finfo(F.dtype).eps)
         d = jnp.diagonal(F11, axis1=1, axis2=2)
-        lift = jnp.where(jnp.abs(d) < eps * scale[:, None],
-                         eps * scale[:, None] * jnp.where(d < 0, -1.0, 1.0),
+        # pad diagonal slots carry exactly the injected 1.0 and must
+        # stay untouched; real diagonals of this magnitude are fine too
+        lift = jnp.where(jnp.abs(d) < eps * scale,
+                         eps * scale * jnp.where(d < 0, -1.0, 1.0),
                          0.0)
         F11 = F11 + jax.vmap(jnp.diag)(lift)
     if use_xla_lu:
@@ -341,6 +346,7 @@ def _lu_factor_bucket(F, *, B, nsp, mup, perturb, use_xla_lu=True):
 
 def _lu_factor_all(plan: SupernodalLuPlan, perturb: bool,
                    use_xla_lu: bool, values: jax.Array):
+    scale = jnp.max(jnp.abs(values))
     lu11: Dict[Tuple[int, int], jax.Array] = {}
     perm11: Dict[Tuple[int, int], jax.Array] = {}
     l21: Dict[Tuple[int, int], jax.Array] = {}
@@ -357,7 +363,7 @@ def _lu_factor_all(plan: SupernodalLuPlan, perturb: bool,
                 F = _extend(F, updates[(lc, bc)], jnp.asarray(src),
                             jnp.asarray(dst))
             lu_b, perm_b, l21_b, u12_b, schur = _lu_factor_bucket(
-                F, B=B, nsp=nsp, mup=mup, perturb=perturb,
+                F, scale, B=B, nsp=nsp, mup=mup, perturb=perturb,
                 use_xla_lu=use_xla_lu)
             lu11[(l, bi)] = lu_b
             perm11[(l, bi)] = perm_b

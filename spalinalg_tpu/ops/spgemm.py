@@ -224,7 +224,20 @@ def spgemm_apply(plan: SpgemmPlan, a_values: jax.Array, b_values: jax.Array):
             and n_terms >= 4096):
         pr = plan._tpu_numeric(int(a_values.shape[0]),
                                int(b_values.shape[0]))
-        if pr is not None:
+        traced = (isinstance(a_values, jax.core.Tracer)
+                  or isinstance(b_values, jax.core.Tracer))
+        if pr is not None and not (traced
+                                   and pr.table_bytes > (64 << 20)):
+            # Under an enclosing user jit the route tables become
+            # closure constants of that trace and are serialised into
+            # the compile payload — fine at tens of MB, but a
+            # multi-hundred-MB plan breaks remote-compile transports
+            # (HTTP 413) and bloats compilation, so large plans fall
+            # back to the XLA formulation there. Callers who want the
+            # kernel inside their own jit should thread
+            # ``(pr.FPA, pr.FPB)`` through that jit's arguments and
+            # call ``pair_route_apply(..., tables=...)`` directly
+            # (bench.py shows the pattern).
             from .kernels.pair_route import pair_route_apply
 
             _LAST_SPGEMM_PATH = "pair_route"

@@ -153,3 +153,23 @@ class TestSupernodalLu:
                                    rtol=1e-10, atol=1e-12)
         # partial pivoting: unit multipliers bounded by 1
         assert float(jnp.max(jnp.abs(jnp.tril(lu_m, -1)))) <= 1.0 + 1e-12
+
+    def test_small_magnitude_values_not_corrupted_by_perturb(self, rng):
+        # regression: the pivot-lift threshold must scale with the
+        # OPERAND, not the pad-polluted block max — a 1e-6-scaled
+        # well-conditioned system used to come back ~100% wrong with
+        # perturb=True (the default)
+        A = (convdiff2d(8) * 1e-6).tocsr()
+        A.sort_indices()
+        csr = _csr(A.astype(np.float32))
+        b = rng.normal(size=A.shape[0]).astype(np.float32) * 1e-6
+        fac = lu(csr, method="supernodal", perturb=True)
+        x = np.asarray(lu_solve(fac, jnp.asarray(b)))
+        xref = spsolve(A.tocsc().astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(x, xref, rtol=2e-3,
+                                   atol=2e-3 * np.abs(xref).max())
+
+    def test_pivot_true_conflicts_with_supernodal(self):
+        csr = _csr(convdiff2d(6))
+        with pytest.raises(ValueError, match="partial pivoting"):
+            lu(csr, method="supernodal", pivot=True)
