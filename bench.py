@@ -472,7 +472,10 @@ def main() -> None:
     try:
         hb, hx, hnnz = _make_bsr(512 if on_tpu else 8, "bf16")
         roof = hbm / 2.0
-        per, diag = _measure(lambda v: hb @ v, hx, ks=ks_big, reps=reps,
+        # bf16 iterations are ~2x shorter than f32: longer loops keep
+        # kernel time above the dispatch jitter
+        ks_bf16 = (128, 640, 1152) if on_tpu else (1, 2, 3)
+        per, diag = _measure(lambda v: hb @ v, hx, ks=ks_bf16, reps=reps,
                              max_rate=roof / hnnz if on_tpu else None)
         secondary.update(_emit("bsr_banded_spmv_bf16_nnz_per_s", nnz=hnnz,
                                per=per, diag=diag, roof_rate=roof,

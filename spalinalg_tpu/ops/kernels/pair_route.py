@@ -67,6 +67,8 @@ class PairRoutePlan:
     RPP: int
     FPA: jax.Array          # (T*S, 512, 128) i32
     FPB: jax.Array          # (T*S, 512, 128) i32
+    has_a: jax.Array        # (T*S,) i32 — 1 iff the page routes any
+    has_b: jax.Array        #   entry for that route (kernel skip flags)
     vrow_src: np.ndarray    # (n_virtual,) real output slot per virtual row
     # coloring-retry regions: terms recolored in fresh tail pages;
     # each entry adds yr[start:start+len] into y at `gids`
@@ -195,6 +197,7 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
 
     def tables(route_sel):
         F = np.zeros((T * S, _H, _LANE), np.int32)
+        has = np.zeros(T * S, np.int32)
         for rec in placed:
             _idx, t_r, sdest, l_r = rec[0], rec[1], rec[2], rec[3]
             sl, rr, lc, m = rec[4] if route_sel == 0 else rec[5]
@@ -204,15 +207,17 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
             F[page, d_r * _BLK + rr, m] |= lc
             F[page, d_r * _BLK + m, sdb] |= rr << 8
             F[page, d_r * _BLK + sdb, l_r] |= (m << 16) | (1 << 24)
-        return F
+            has[page] = 1
+        return F, has
 
-    FPA = tables(0)
-    FPB = tables(1)
+    FPA, has_a = tables(0)
+    FPB, has_b = tables(1)
 
     return PairRoutePlan(
         n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
         K=K, R=R, T=T, S=S, RPP=RPP,
         FPA=jnp.asarray(FPA), FPB=jnp.asarray(FPB),
+        has_a=jnp.asarray(has_a), has_b=jnp.asarray(has_b),
         vrow_src=vrow_src, retry=retry,
         spill=(gid[cur], a_idx[cur], b_idx[cur]),
         spill_frac=float(cur.size / max(n_terms, 1)),
@@ -271,9 +276,10 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
-def _pair_kernel(xa_ref, xb_ref, fpa_ref, fpb_ref, o_ref, za, zb,
-                 *, K, R, S):
+def _pair_kernel(ha_ref, hb_ref, xa_ref, xb_ref, fpa_ref, fpb_ref,
+                 o_ref, za, zb, *, K, R, S):
     s = pl.program_id(1)
+    p = pl.program_id(0) * jnp.int32(S) + s
 
     @pl.when(s == jnp.int32(0))
     def _():
@@ -282,21 +288,28 @@ def _pair_kernel(xa_ref, xb_ref, fpa_ref, fpb_ref, o_ref, za, zb,
 
     Xa = xa_ref[...]
     Xb = xb_ref[...]
-    for fp_ref, X, z in ((fpa_ref, Xa, za), (fpb_ref, Xb, zb)):
-        fp = fp_ref[0]                                   # (512, 128)
-        # stage 1 batches all 4 dest blocks in one lane gather: the
-        # source tile is replicated per block (per-step op count is
-        # what bounds this kernel — 931 pages x many small takes)
-        Xr = jnp.concatenate([X] * _D, axis=0)           # (512, 128)
-        H = _take_lane(Xr, fp & jnp.int32(0xFF))
-        H = H.reshape(_D, _BLK, _LANE)
-        Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
-        Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
-        Sm = Sm.reshape(_D, _BLK, _LANE)
-        St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
-        Z = _take_lane(St, (fp >> jnp.int32(16)) & jnp.int32(0xFF))
-        mk = (fp >> jnp.int32(24)).astype(jnp.float32)
-        z[...] = z[...] + Z * mk
+    for h_ref, fp_ref, X, z in ((ha_ref, fpa_ref, Xa, za),
+                                (hb_ref, fpb_ref, Xb, zb)):
+        @pl.when(h_ref[p] == jnp.int32(1))
+        def _(fp_ref=fp_ref, X=X, z=z):
+            # empty (page, route) pairs skip the whole gather block:
+            # a dest page's route-a sources live in a contiguous
+            # a-window (~26 % of slices are outside it on the bench
+            # case), and per-step gather/VPU work is what bounds this
+            # kernel.
+            fp = fp_ref[0]                               # (512, 128)
+            # stage 1 batches all 4 dest blocks in one lane gather:
+            # the source tile is replicated per block
+            Xr = jnp.concatenate([X] * _D, axis=0)       # (512, 128)
+            H = _take_lane(Xr, fp & jnp.int32(0xFF))
+            H = H.reshape(_D, _BLK, _LANE)
+            Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
+            Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
+            Sm = Sm.reshape(_D, _BLK, _LANE)
+            St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
+            Z = _take_lane(St, fp >> jnp.int32(16) & jnp.int32(0xFF))
+            mk = (fp >> jnp.int32(24)).astype(jnp.float32)
+            z[...] = z[...] + Z * mk
 
     @pl.when(s == jnp.int32(S - 1))
     def _():
@@ -309,8 +322,8 @@ def _pair_kernel(xa_ref, xb_ref, fpa_ref, fpb_ref, o_ref, za, zb,
 
 @partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nnz_a",
                                    "nnz_b", "interpret"))
-def _pair_call(FPA, FPB, a_vals, b_vals, *, K, R, T, S, RPP,
-               nnz_a, nnz_b, interpret=False):
+def _pair_call(FPA, FPB, has_a, has_b, a_vals, b_vals, *, K, R, T, S,
+               RPP, nnz_a, nnz_b, interpret=False):
     def slices(v, nnz):
         X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
         X = X.at[:nnz].set(v.astype(jnp.float32)[:nnz])
@@ -322,23 +335,28 @@ def _pair_call(FPA, FPB, a_vals, b_vals, *, K, R, T, S, RPP,
 
     _z = lambda: jnp.int32(0)
     stream = lambda: pl.BlockSpec(
-        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
+        (1, _H, _LANE), lambda t, s, *_: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
     xspec = lambda: pl.BlockSpec(
-        (_BLK, _LANE), lambda t, s: (s, _z()), memory_space=pltpu.VMEM)
-    fn = pl.pallas_call(
-        partial(_pair_kernel, K=K, R=R, S=S),
+        (_BLK, _LANE), lambda t, s, *_: (s, _z()),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(T, S),
         in_specs=[xspec(), xspec(), stream(), stream()],
         out_specs=pl.BlockSpec((1, R, _LANE),
-                               lambda t, s: (t, _z(), _z()),
+                               lambda t, s, *_: (t, _z(), _z()),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_H, _LANE), jnp.float32),
                         pltpu.VMEM((_H, _LANE), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        partial(_pair_kernel, K=K, R=R, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
     )
-    y = fn(Xa, Xb, FPA, FPB)
+    y = fn(has_a, has_b, Xa, Xb, FPA, FPB)
     # interleaved slot layout (lr = l*R + r): one XLA transpose per call
     y = y.transpose(0, 2, 1).reshape(T, _LANE * R)
     return y[:, :RPP].reshape(-1)
@@ -355,17 +373,25 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
     large plans (100s of MB) breaks remote-compile transports and
     bloats compilation."""
     FPA, FPB = tables if tables is not None else (plan.FPA, plan.FPB)
-    yr = _pair_call(FPA, FPB, a_vals, b_vals,
+    yr = _pair_call(FPA, FPB, plan.has_a, plan.has_b, a_vals, b_vals,
                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
                     RPP=plan.RPP, nnz_a=plan.nnz_a, nnz_b=plan.nnz_b,
                     interpret=interpret)
     y = yr[: plan.n_out]
+    # one merged tail scatter (vrow region + retry regions): scatter-add
+    # pays a per-op cost on top of its ~0.09 Gelem/s rate, so batch the
+    # slices (their target indices are plan constants)
+    idx_parts, val_parts = [], []
     nvr = plan.vrow_src.size
     if nvr:
-        y = y.at[jnp.asarray(plan.vrow_src)].add(
-            yr[plan.n_out: plan.n_out + nvr])
+        idx_parts.append(np.asarray(plan.vrow_src, np.int64))
+        val_parts.append(yr[plan.n_out: plan.n_out + nvr])
     for start, gids in plan.retry:
-        y = y.at[jnp.asarray(gids)].add(yr[start: start + gids.size])
+        idx_parts.append(np.asarray(gids, np.int64))
+        val_parts.append(yr[start: start + gids.size])
+    if idx_parts:
+        tail_idx = jnp.asarray(np.concatenate(idx_parts))
+        y = y.at[tail_idx].add(jnp.concatenate(val_parts))
     sp_g, sp_a, sp_b = plan.spill
     if sp_g.size:
         contrib = (a_vals.astype(jnp.float32)[jnp.asarray(sp_a)]

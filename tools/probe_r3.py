@@ -372,9 +372,9 @@ def exp_spgemm():
     @partial(jax.jit, static_argnames=("k",))
     def kloop(FPA, FPB, av, k):
         def it(i, acar):
-            y = _pair_call(FPA, FPB, acar, av0, K=pr.K, R=pr.R, T=pr.T,
-                           S=pr.S, RPP=pr.RPP, nnz_a=pr.nnz_a,
-                           nnz_b=pr.nnz_b)
+            y = _pair_call(FPA, FPB, pr.has_a, pr.has_b, acar, av0,
+                           K=pr.K, R=pr.R, T=pr.T, S=pr.S, RPP=pr.RPP,
+                           nnz_a=pr.nnz_a, nnz_b=pr.nnz_b)
             return acar * (1.0 + jnp.sum(y) * 1e-12)
         return jax.lax.fori_loop(0, k, it, av)
 
