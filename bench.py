@@ -55,24 +55,28 @@ def _hbm() -> float:
 
 
 def _measure(body, x0, *, ks, reps=3, max_rate=None, tries=3,
-             readback=None):
+             loop_fn=None):
     """Robust per-iteration seconds of ``x -> normalize(body(x))``.
 
+    ``loop_fn(x, k)``, when given, replaces the default jitted
+    fori_loop (callers that must thread large plan tables through jit
+    arguments build their own loop — see bench_spgemm).
     Returns ``(per_iter_seconds_or_None, diag)``; ``per`` is None when
     the measurement stayed invalid after ``tries`` attempts."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("k",))
-    def loop(x, k):
-        def it(i, xc):
-            y = body(xc)
-            return (y / (jnp.max(jnp.abs(y)) + 1.0)).astype(xc.dtype)
-        return jax.lax.fori_loop(0, k, it, x)
+    if loop_fn is None:
+        @partial(jax.jit, static_argnames=("k",))
+        def loop_fn(x, k):
+            def it(i, xc):
+                y = body(xc)
+                return (y / (jnp.max(jnp.abs(y)) + 1.0)).astype(xc.dtype)
+            return jax.lax.fori_loop(0, k, it, x)
 
     def run(k):
         xs = x0 * x0.dtype.type(1 + next(_seed) * 1e-6)
-        out = loop(xs, k=k)
+        out = loop_fn(xs, k=k)
         r = np.asarray(jax.device_get(out)).ravel()[0]  # real sync
         return r
 
@@ -336,8 +340,8 @@ def bench_spgemm(on_tpu, secondary, hbm):
 
         import jax.numpy as jnp
 
-        def body(x, k):
-            return sploop(pr.FPA, pr.FPB, x, k)
+        def loop_fn(x, k):
+            return sploop(pr.FPA, pr.FPB, x, k=k)
     else:
         @partial(jax.jit, static_argnames=("k",))
         def xlaloop(x, k):
@@ -349,39 +353,19 @@ def bench_spgemm(on_tpu, secondary, hbm):
                 return xc * (1.0 + jnp.sum(y) * 1e-12)
             return jax.lax.fori_loop(0, k, it, x)
 
-        body = xlaloop
+        loop_fn = xlaloop
 
     import jax.numpy as jnp
 
     ks = (4, 20, 36) if on_tpu else (1, 2, 3)
-    reps = 3 if on_tpu else 1
     roof = hbm / 24.0
-    per = None
-    for _attempt in range(3):
-        totals = {}
-        for k in sorted(ks):
-            _ = float(body(av * np.float32(1 + next(_seed) * 1e-6), k)[0])
-            best = None
-            for _r in range(reps):
-                xs = av * np.float32(1 + next(_seed) * 1e-6)
-                t0 = time.perf_counter()
-                _ = float(body(xs, k)[0])
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            totals[k] = best
-        kl = sorted(ks)
-        slopes = sorted((totals[kl[j]] - totals[kl[i]]) / (kl[j] - kl[i])
-                        for i in range(3) for j in range(i + 1, 3))
-        cand = slopes[1]
-        monotone = totals[kl[0]] < totals[kl[1]] < totals[kl[2]]
-        if monotone and cand > 0 and (not on_tpu
-                                      or n_terms / cand <= roof * 1.02):
-            per = cand
-            break
+    per, diag = _measure(None, av, ks=ks, reps=3 if on_tpu else 1,
+                         max_rate=(roof / n_terms) if on_tpu else None,
+                         loop_fn=loop_fn)
     if per is None:
         secondary["spgemm_powerlaw_terms_per_s"] = None
         secondary["spgemm_powerlaw_invalid"] = True
-        print(f"[bench] spgemm INVALID {totals}", file=sys.stderr)
+        print(f"[bench] spgemm INVALID {diag}", file=sys.stderr)
         return
     rate = n_terms / per
     secondary["spgemm_powerlaw_terms_per_s"] = round(rate, 1)

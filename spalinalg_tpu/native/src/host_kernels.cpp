@@ -255,8 +255,8 @@ void spal_route_color(const int64_t* panel_ptr, int64_t n_panels,
       if (!ok[e]) failed.push_back(e);
     }
 
-    // exact repair: alternating chains on color pairs (a, b)
-    for (int64_t e : failed) {
+    // repair: alternating chains on color pairs (a, b)
+    auto try_repair = [&](int64_t e) {
       int ge = g[e], fe = f[e];
       bool placed = false;
       // retry phase 1 (earlier chains may have freed cells)
@@ -325,6 +325,17 @@ void spal_route_color(const int64_t* panel_ptr, int64_t n_panels,
           }
         }
       }
+      return placed;
+    };
+
+    // Chains moved for one edge free cells other failures needed, so
+    // iterate the failed list until a round places nothing new.
+    for (int round = 0; round < 4 && !failed.empty(); ++round) {
+      std::vector<int64_t> still;
+      for (int64_t e : failed)
+        if (!try_repair(e)) still.push_back(e);
+      if (still.size() == failed.size()) break;
+      failed.swap(still);
     }
   }
 }
