@@ -496,7 +496,8 @@ def main() -> None:
     try:
         csr, cx, cnnz = _make_csr(1 << 16 if on_tpu else 1 << 12, 32)
         roof = hbm / 12.0
-        per, diag = _measure(lambda v: csr @ v, cx, ks=ks_mid, reps=reps,
+        # routed iterations are ~130 us: loop well past dispatch jitter
+        per, diag = _measure(lambda v: csr @ v, cx, ks=ks_big, reps=reps,
                              max_rate=roof / cnnz if on_tpu else None)
         secondary.update(_emit("csr_random_spmv_nnz_per_s", nnz=cnnz,
                                per=per, diag=diag, roof_rate=roof,

@@ -568,17 +568,23 @@ def _take_lane(src, idx):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP, fill_value=0.0)
 
 
+def _blocked_takes(X2, fp):
+    """The 2-corner-turn routing for all 4 dest blocks in 3 batched
+    lane gathers (vs 12 small ones — per-step op issues bound these
+    kernels; the source tile is replicated per block)."""
+    Xr = jnp.concatenate([X2] * _D, axis=0)              # (512, 128)
+    H = _take_lane(Xr, fp & jnp.int32(0xFF))
+    Ht = jnp.swapaxes(H.reshape(_D, _BLK, _LANE), 1, 2)
+    Sm = _take_lane(Ht.reshape(_D * _BLK, _LANE),
+                    (fp >> jnp.int32(8)) & jnp.int32(0xFF))
+    St = jnp.swapaxes(Sm.reshape(_D, _BLK, _LANE), 1, 2)
+    return _take_lane(St.reshape(_D * _BLK, _LANE),
+                      (fp >> jnp.int32(16)) & jnp.int32(0xFF))
+
+
 def _route_kernel(x_ref, fp_ref, v_ref, o_ref, *, K, R):
     s = pl.program_id(1)
-    X2 = x_ref[...]
-    zs = []
-    for d in range(_D):
-        b = slice(d * _BLK, (d + 1) * _BLK)
-        fp = fp_ref[0][b]
-        H = _take_lane(X2, fp & jnp.int32(0xFF))
-        Sm = _take_lane(H.T, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
-        zs.append(_take_lane(Sm.T, fp >> jnp.int32(16)))
-    P = jnp.concatenate(zs, axis=0) * v_ref[0]
+    P = _blocked_takes(x_ref[...], fp_ref[0]) * v_ref[0]
     acc = jnp.zeros((R, _LANE), jnp.float32)
     for k in range(K):
         acc = acc + P[k * R:(k + 1) * R]
@@ -693,22 +699,10 @@ def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol,
     # per step at ncol=64 measured take-issue-bound).
     for c0 in range(0, ncol, chunk):
         X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
-        Xr = X3.reshape(chunk * _BLK, _LANE)
-        zs = []
-        for d in range(_D):
-            b = slice(d * _BLK, (d + 1) * _BLK)
-            fpb = fp[b]
-            i1 = jnp.tile(fpb & jnp.int32(0xFF), (chunk, 1))
-            H = _take_lane(Xr, i1).reshape(chunk, _BLK, _LANE)
-            Ht = jnp.swapaxes(H, 1, 2).reshape(chunk * _BLK, _LANE)
-            i2 = jnp.tile((fpb >> jnp.int32(8)) & jnp.int32(0xFF),
-                          (chunk, 1))
-            Sm = _take_lane(Ht, i2).reshape(chunk, _BLK, _LANE)
-            St = jnp.swapaxes(Sm, 1, 2).reshape(chunk * _BLK, _LANE)
-            i3 = jnp.tile(fpb >> jnp.int32(16), (chunk, 1))
-            Z = _take_lane(St, i3).reshape(chunk, _BLK, _LANE)
-            zs.append(Z * v[b][None])
-        P = jnp.concatenate(zs, axis=1)               # (CH, 512, 128)
+        ps = []
+        for c in range(chunk):
+            ps.append(_blocked_takes(X3[c], fp) * v)  # (512, 128)
+        P = jnp.stack(ps, axis=0)                     # (CH, 512, 128)
         acc = jnp.zeros((chunk, R, _LANE), jnp.float32)
         for k in range(K_ell):
             acc = acc + P[:, k * R:(k + 1) * R]
