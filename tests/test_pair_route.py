@@ -112,3 +112,40 @@ class TestPairRoutePlan:
         np.add.at(got, sp_g, vals[sp_a] * vals[sp_b])
         np.testing.assert_allclose(got, _oracle(plan, vals, vals),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestRetryRounds:
+    def test_forced_coloring_retries_stay_exact(self):
+        """A structure that overloads single source rows (every output
+        row multiplies against one hot B row) forces first-round
+        coloring failures; the retry rounds must route them exactly
+        (no silent spill-path divergence)."""
+        n, hot = 256, 192
+        rng = np.random.default_rng(8)
+        # A: each row has one entry in column 0
+        a = CsrMatrix._from_parts(
+            n, n,
+            jnp.asarray(np.arange(n + 1), dtype=INDEX_DTYPE),
+            jnp.asarray(np.zeros(n, np.int64), dtype=INDEX_DTYPE),
+            jnp.asarray(rng.normal(size=n).astype(np.float32)))
+        # B: row 0 holds `hot` entries; other rows empty
+        bptr = np.zeros(n + 1, np.int64)
+        bptr[1:] = hot
+        b = CsrMatrix._from_parts(
+            n, n,
+            jnp.asarray(bptr, dtype=INDEX_DTYPE),
+            jnp.asarray(np.arange(hot), dtype=INDEX_DTYPE),
+            jnp.asarray(rng.normal(size=hot).astype(np.float32)))
+        plan, pr = _plan_pair(a, b)
+        av = np.asarray(a.values)
+        bv = np.asarray(b.values)
+        got = simulate_pair_route(pr, av, bv)
+        sp_g, sp_a, sp_b = pr.spill
+        np.add.at(got, sp_g, av[sp_a] * bv[sp_b])
+        np.testing.assert_allclose(got, _oracle(plan, av, bv),
+                                   rtol=1e-5, atol=1e-5)
+        # the interpret kernel agrees too (flags + retry pages)
+        got_k = np.asarray(pair_route_apply(
+            pr, jnp.asarray(av), jnp.asarray(bv), interpret=True))
+        np.testing.assert_allclose(got_k, _oracle(plan, av, bv),
+                                   rtol=1e-5, atol=1e-5)
