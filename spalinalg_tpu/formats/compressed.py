@@ -44,8 +44,9 @@ def _is_concrete(*arrays) -> bool:
     return not any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
-_TRANSPOSE_CACHE: dict = {}
-_TRANSPOSE_CACHE_MAX = 32
+from ..utils.plancache import StructureCache
+
+_TRANSPOSE_CACHE = StructureCache(maxsize=32)
 
 
 class _CompressedMatrix:
@@ -319,28 +320,23 @@ class _CompressedMatrix:
         concrete = not any(
             isinstance(a, _jax.core.Tracer)
             for a in (self._ptr, self._minor, self._values))
+
+        def build():
+            n_major = self._major_dim(self._nrows, self._ncols)
+            n_minor = self._minor_dim(self._nrows, self._ncols)
+            ptr, minor, values = transpose_compressed_device(
+                self._ptr, self._minor, self._values,
+                n_major=n_major, n_minor=n_minor,
+            )
+            return type(self)._from_parts(self._ncols, self._nrows, ptr,
+                                          minor, values)
+
+        if not concrete:
+            return build()
         key = (type(self), id(self._ptr), id(self._minor),
                id(self._values), self._nrows, self._ncols)
-        if concrete:
-            hit = _TRANSPOSE_CACHE.get(key)
-            if hit is not None:
-                return hit[1]
-
-        n_major = self._major_dim(self._nrows, self._ncols)
-        n_minor = self._minor_dim(self._nrows, self._ncols)
-        ptr, minor, values = transpose_compressed_device(
-            self._ptr, self._minor, self._values,
-            n_major=n_major, n_minor=n_minor,
-        )
-        out = type(self)._from_parts(self._ncols, self._nrows, ptr, minor,
-                                     values)
-        if concrete:
-            if len(_TRANSPOSE_CACHE) >= _TRANSPOSE_CACHE_MAX:
-                _TRANSPOSE_CACHE.pop(next(iter(_TRANSPOSE_CACHE)))
-            # hold operand refs so the keying ids stay valid while cached
-            _TRANSPOSE_CACHE[key] = (
-                (self._ptr, self._minor, self._values), out)
-        return out
+        return _TRANSPOSE_CACHE.get(
+            key, (self._ptr, self._minor, self._values), build)
 
     @property
     def T(self):

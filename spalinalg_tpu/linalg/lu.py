@@ -53,6 +53,7 @@ class LuFactor:
     band: Optional[BandLuFactor]
     dense_lu: Optional[tuple]  # (lu, piv) from jax.scipy.linalg.lu_factor
     snlu: Optional[object] = None  # SupernodalLuFactor (general case)
+    a: Optional[object] = None  # original CsrMatrix (for refinement)
 
 
 def _supernodal_lu(csr, *, reorder: bool, perturb: bool) -> LuFactor:
@@ -97,7 +98,8 @@ def _supernodal_lu(csr, *, reorder: bool, perturb: bool) -> LuFactor:
     svals = (jnp.zeros(sind.size, Ap._values.dtype)
              .at[jnp.asarray(vpos)].set(Ap._values[:nnz_a]))
     fac = supernodal_lu_factor(plan, svals, perturb=perturb)
-    return LuFactor(n=n, perm=perm, band=None, dense_lu=None, snlu=fac)
+    return LuFactor(n=n, perm=perm, band=None, dense_lu=None, snlu=fac,
+                    a=csr)
 
 
 def lu(csr, *, reorder: bool = True, panel: int = 64,
@@ -153,9 +155,7 @@ def lu(csr, *, reorder: bool = True, panel: int = 64,
     return LuFactor(n=n, perm=perm, band=fac, dense_lu=None)
 
 
-def lu_solve(fac: LuFactor, b) -> jax.Array:
-    """Solve ``A x = b`` given an :func:`lu` factor."""
-    b = jnp.asarray(b)
+def _lu_solve_once(fac: LuFactor, b) -> jax.Array:
     bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
     if fac.snlu is not None:
         from .supernodal_lu import supernodal_lu_solve
@@ -172,3 +172,28 @@ def lu_solve(fac: LuFactor, b) -> jax.Array:
         iperm[fac.perm] = np.arange(fac.n)
         return xp[jnp.asarray(iperm)]
     return xp
+
+
+def lu_solve(fac: LuFactor, b, *, refine: Optional[int] = None) -> jax.Array:
+    """Solve ``A x = b`` given an :func:`lu` factor.
+
+    ``refine``: iterative-refinement steps against the original matrix.
+    Defaults to 1 for the supernodal path — it pivots only within
+    supernode diagonal blocks (plus the static perturbation safeguard),
+    so a refinement sweep restores accuracy on non-diagonally-dominant
+    inputs (ADVICE r3) — and 0 for the fully-pivoted paths."""
+    b = jnp.asarray(b)
+    x = _lu_solve_once(fac, b)
+    steps = refine if refine is not None else (
+        1 if (fac.snlu is not None and fac.a is not None) else 0)
+    if steps and fac.a is not None:
+        # residual via the bucketed-plan SpMV (no route-plan build for
+        # a one-shot solve; structure is concrete on this path)
+        from ..ops.matvec import _plan_spmv_jit, _row_plan
+
+        plan = _row_plan(fac.a)
+        for _ in range(steps):
+            r = b - _plan_spmv_jit(plan, fac.a.colind, fac.a.values,
+                                   x.astype(fac.a.values.dtype))
+            x = x + _lu_solve_once(fac, r)
+    return x

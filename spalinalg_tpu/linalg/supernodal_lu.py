@@ -301,7 +301,8 @@ def _batched_pivoted_lu(A):
 
 @partial(jax.jit, static_argnames=("B", "nsp", "mup", "perturb",
                                    "use_xla_lu"))
-def _lu_factor_bucket(F, scale, *, B, nsp, mup, perturb, use_xla_lu=True):
+def _lu_factor_bucket(F, scale, real, *, B, nsp, mup, perturb,
+                      use_xla_lu=True):
     mp = nsp + mup
     F = F.reshape(B, mp, mp)
     F11 = F[:, :nsp, :nsp]
@@ -312,13 +313,14 @@ def _lu_factor_bucket(F, scale, *, B, nsp, mup, perturb, use_xla_lu=True):
         # would include the artificial 1.0 pad diagonals, turning the
         # relative threshold absolute and corrupting small-magnitude
         # matrices (confirmed: rel. error ~1 on a 1e-6-scaled system).
+        # ``real`` (B, nsp) masks the injected pad diagonals out of the
+        # lift explicitly — without it, scale > 1/sqrt(eps) would lift
+        # the inert 1.0 pads too (ADVICE r3).
         eps = jnp.sqrt(jnp.finfo(F.dtype).eps)
         d = jnp.diagonal(F11, axis1=1, axis2=2)
-        # pad diagonal slots carry exactly the injected 1.0 and must
-        # stay untouched; real diagonals of this magnitude are fine too
-        lift = jnp.where(jnp.abs(d) < eps * scale,
-                         eps * scale * jnp.where(d < 0, -1.0, 1.0),
-                         0.0)
+        sgn = jnp.where(jnp.real(d) < 0, -1.0, 1.0).astype(F.dtype)
+        lift = jnp.where(real & (jnp.abs(d) < eps * scale),
+                         eps * scale * sgn, 0.0)
         F11 = F11 + jax.vmap(jnp.diag)(lift)
     if use_xla_lu:
         lu11, _piv, perm = jax.lax.linalg.lu(F11)
@@ -362,8 +364,9 @@ def _lu_factor_all(plan: SupernodalLuPlan, perturb: bool,
             for (lc, bc), src, dst in bk.ext:
                 F = _extend(F, updates[(lc, bc)], jnp.asarray(src),
                             jnp.asarray(dst))
+            real = jnp.asarray(bk.colg[:, :nsp] < plan.n)
             lu_b, perm_b, l21_b, u12_b, schur = _lu_factor_bucket(
-                F, scale, B=B, nsp=nsp, mup=mup, perturb=perturb,
+                F, scale, real, B=B, nsp=nsp, mup=mup, perturb=perturb,
                 use_xla_lu=use_xla_lu)
             lu11[(l, bi)] = lu_b
             perm11[(l, bi)] = perm_b
@@ -383,9 +386,10 @@ def supernodal_lu_factor(plan: SupernodalLuPlan, values: jax.Array,
     ONE program per (plan, perturb) — per-bucket dispatch cost
     dominates on remote-attached devices otherwise."""
     values = jnp.asarray(values)
-    # XLA's LuDecomposition op is f32/c64-only on TPU backends
+    # XLA's LuDecomposition op is f32/c64-only on the TPU backend
+    # specifically; CPU/GPU support f64 natively (ADVICE r3).
     use_xla_lu = (values.dtype == jnp.float32
-                  or jax.default_backend() == "cpu")
+                  or jax.default_backend() != "tpu")
     cache = getattr(plan, "_factor_jit", None)
     if cache is None:
         cache = {}

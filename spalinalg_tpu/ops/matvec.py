@@ -99,39 +99,34 @@ def _csc_spmm_kernel(colptr, rowind, values, X, *, nrows):
 # jitted composition of gathers + dense reductions.
 # ----------------------------------------------------------------------
 
-_ROW_PLAN_CACHE: dict = {}
-_ROW_PLAN_CACHE_MAX = 64
+from ..utils.plancache import StructureCache
+
+_ROW_PLAN_CACHE = StructureCache(maxsize=64)
 
 
 def _row_plan(csr):
     """Segmented-reduction plan over CSR rows (host-built, cached).
 
-    The cache holds a strong reference to the keying ``rowptr`` array so its
-    ``id`` cannot be recycled while the entry lives. Bucket widths come
-    from :func:`config.current_config` (and key the cache).
+    Bucket widths come from :func:`config.current_config` (and key the
+    cache); caching contract (ref-holding, compile-time-eval, FIFO) is
+    ``utils.plancache.StructureCache``.
     """
     from ..config import current_config
 
     cfg = current_config()
     key = (id(csr._ptr), csr.nse, csr.nrows,
            cfg.max_bucket_width, cfg.min_bucket_width)
-    hit = _ROW_PLAN_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    from .reduction import build_segment_reduce_plan
-    import numpy as np
 
-    sizes = np.diff(np.asarray(csr._ptr, dtype=np.int64))
-    # Plans are cached across jit traces: their device arrays must be real
-    # committed constants, not trace-scoped ones (escaped-tracer otherwise).
-    with jax.ensure_compile_time_eval():
-        plan = build_segment_reduce_plan(
+    def build():
+        from .reduction import build_segment_reduce_plan
+        import numpy as np
+
+        sizes = np.diff(np.asarray(csr._ptr, dtype=np.int64))
+        return build_segment_reduce_plan(
             sizes, max_width=cfg.max_bucket_width,
             min_width=cfg.min_bucket_width)
-    if len(_ROW_PLAN_CACHE) >= _ROW_PLAN_CACHE_MAX:
-        _ROW_PLAN_CACHE.pop(next(iter(_ROW_PLAN_CACHE)))
-    _ROW_PLAN_CACHE[key] = (csr._ptr, plan)
-    return plan
+
+    return _ROW_PLAN_CACHE.get(key, (csr._ptr,), build)
 
 
 def _plan_spmv(plan, colind, values, x):
@@ -164,8 +159,7 @@ def _structure_concrete(mat) -> bool:
 # into the routing tables) and moderate table inflation.
 # ----------------------------------------------------------------------
 
-_ROUTE_PLAN_CACHE: dict = {}
-_ROUTE_PLAN_CACHE_MAX = 16
+_ROUTE_PLAN_CACHE = StructureCache(maxsize=16)
 
 
 def _route_eligible(csr, x) -> bool:
@@ -187,35 +181,26 @@ def _route_eligible(csr, x) -> bool:
 
 
 def _route_plan(csr):
-    from .kernels.csr_route import build_route_plan
-    import numpy as np
-
     key = (id(csr._ptr), id(csr._minor), csr.nse, csr.nrows, csr.ncols)
-    hit = _ROUTE_PLAN_CACHE.get(key)
-    if hit is not None:
-        return hit[2]
-    values = csr.values
-    if isinstance(values, jax.core.Tracer):
-        values = np.zeros(csr.colind.shape[0], np.float32)
-    try:
-        # Plans are cached across jit traces: table arrays must be real
-        # committed constants. Without this, building a plan while an
-        # outer jit is tracing wraps FP/VALS in that trace's tracers,
-        # which then escape via the cache (observed in the bench's
-        # fori_loop driver).
-        with jax.ensure_compile_time_eval():
+
+    def build():
+        from .kernels.csr_route import build_route_plan
+        import numpy as np
+
+        values = csr.values
+        if isinstance(values, jax.core.Tracer):
+            values = np.zeros(csr.colind.shape[0], np.float32)
+        try:
             plan = build_route_plan(
                 np.asarray(csr._ptr), np.asarray(csr.colind),
                 values, csr.nrows, csr.ncols)
-    except ValueError:  # ncols/table budget exceeded
-        plan = None
-    if plan is not None and plan.spill_frac > 0.25:
-        plan = None  # pathological structure; XLA path is safer
-    if len(_ROUTE_PLAN_CACHE) >= _ROUTE_PLAN_CACHE_MAX:
-        _ROUTE_PLAN_CACHE.pop(next(iter(_ROUTE_PLAN_CACHE)))
-    # hold refs so ids stay valid while the entry lives
-    _ROUTE_PLAN_CACHE[key] = (csr._ptr, csr._minor, plan)
-    return plan
+        except ValueError:  # ncols/table budget exceeded
+            return None
+        if plan.spill_frac > 0.25:
+            return None  # pathological structure; XLA path is safer
+        return plan
+
+    return _ROUTE_PLAN_CACHE.get(key, (csr._ptr, csr._minor), build)
 
 
 def csr_matvec(csr, x: jax.Array) -> jax.Array:
@@ -284,26 +269,22 @@ def _csr_matmat_impl(csr, X):
 # CSC fast path: one cached CSR mirror per structure, then the CSR row
 # pipeline (VERDICT r1 item 7 — the direct CSC formulation scatter-adds
 # by rowind, the exact primitive that serialises on TPU).
-_CSC_MIRROR_CACHE: dict = {}
-_CSC_MIRROR_CACHE_MAX = 16
+_CSC_MIRROR_CACHE = StructureCache(maxsize=16)
 
 
 def _csc_mirror(csc):
     key = (id(csc._ptr), id(csc._minor), id(csc._values),
            csc.nrows, csc.ncols)
-    hit = _CSC_MIRROR_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    from ..convert.conversions import csc_to_csr
 
-    with jax.ensure_compile_time_eval():
+    def build():
+        from ..convert.conversions import csc_to_csr
+
         csr = csc_to_csr(csc)
         jax.block_until_ready(csr._values)
-    if len(_CSC_MIRROR_CACHE) >= _CSC_MIRROR_CACHE_MAX:
-        _CSC_MIRROR_CACHE.pop(next(iter(_CSC_MIRROR_CACHE)))
-    # hold operand refs so the keying ids stay valid while cached
-    _CSC_MIRROR_CACHE[key] = ((csc._ptr, csc._minor, csc._values), csr)
-    return csr
+        return csr
+
+    return _CSC_MIRROR_CACHE.get(
+        key, (csc._ptr, csc._minor, csc._values), build)
 
 
 def _csc_concrete(csc) -> bool:
