@@ -475,26 +475,37 @@ def main() -> None:
         print(f"[bench] bsr_bf16 failed: {e!r}", file=sys.stderr)
 
     # ---- DIA -------------------------------------------------------
+    # Working set (151 MB of diagonal data) deliberately EXCEEDS the
+    # ~128 MiB VMEM: XLA's memory-space assignment promotes smaller
+    # loop-invariant operands into VMEM and the loop then measures
+    # VMEM-fed rates, not HBM (the source of r3's 45-92 % DIA spread).
+    # Operands are generated on device — bulk H2D through the relay is
+    # minutes-slow.
     try:
         import jax.numpy as jnp
 
         from spalinalg_tpu import DiaMatrix
 
-        n = 1 << 21 if on_tpu else 1 << 14
-        rng = np.random.default_rng(0)
-        diags = [rng.normal(size=n).astype(np.float32) for _ in range(3)]
-        dia = DiaMatrix.from_diagonals(diags, [-1, 0, 1], n,
-                                       dtype=np.float32)
-        dx = jnp.asarray(rng.normal(size=n).astype(np.float32))
-        roof = hbm / 4.0
-        # DIA iterations are ~30 us — loop far past the dispatch jitter
-        ks_dia = (512, 2560, 4608) if on_tpu else (1, 2, 3)
+        n = 1 << 22 if on_tpu else 1 << 14
+        D = 9
+        offs = [-300, -130, -1, 0, 1, 7, 129, 250, 333]
+        key = jax.random.PRNGKey(0)
+        ddata = jax.random.normal(key, (D, n), jnp.float32)
+        dia = DiaMatrix(n, n, offs, ddata)
+        dx = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+        # minimal one-pass traffic: 4 B/nnz of diagonal data plus the
+        # x read and y write amortised over D diagonals (8/D B/nnz).
+        roof = hbm / (4.0 + 8.0 / D)
+        # DIA iterations are ~270 us — loop past the dispatch jitter
+        ks_dia = (32, 160, 288) if on_tpu else (1, 2, 3)
         per, diag = _measure(lambda v: dia @ v, dx, ks=ks_dia, reps=reps,
                              max_rate=roof / dia.nnz if on_tpu else None)
+        dia_path = ("pallas_stream" if dia._stream_eligible(dx)
+                    else "xla_stream")
         secondary.update(_emit("dia_banded_spmv_nnz_per_s", nnz=dia.nnz,
                                per=per, diag=diag, roof_rate=roof,
                                frac_key="dia_roofline_frac",
-                               path="xla_stream"))
+                               path=dia_path))
     except Exception as e:
         print(f"[bench] dia failed: {e!r}", file=sys.stderr)
 

@@ -158,7 +158,29 @@ class DiaMatrix:
 
     # ---- compute ----
 
+    def _stream_eligible(self, x) -> bool:
+        from ..config import current_config
+        from ..ops.kernels.dia_stream import dia_stream_eligible
+
+        return (current_config().use_pallas
+                and jax.default_backend() == "tpu"
+                and x.ndim == 1
+                and jnp.result_type(self._data.dtype,
+                                    x.dtype) == jnp.float32
+                and dia_stream_eligible(self._offsets, self._nrows,
+                                        self._ncols, self._data.dtype))
+
     def _matvec(self, x: jax.Array) -> jax.Array:
+        if self._stream_eligible(x):
+            # single-pass Pallas kernel: data, x, y each read/written
+            # exactly once (deterministic (4 + 8/D) B/nnz traffic)
+            from ..ops.kernels.dia_stream import dia_spmv
+
+            return dia_spmv(self._offsets, self._data, x,
+                            self._nrows, self._ncols)
+        return self._matvec_xla(x)
+
+    def _matvec_xla(self, x: jax.Array) -> jax.Array:
         n, m = self._nrows, self._ncols
         lo = int(-min(self._offsets.min(initial=0), 0))
         hi = int(max(self._offsets.max(initial=0) + n - m, 0)) + n

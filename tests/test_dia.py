@@ -5,6 +5,7 @@ import pytest
 import scipy.sparse as sps
 
 import jax
+import jax.numpy as jnp
 
 from spalinalg_tpu import CooMatrix, CsrMatrix, DiaMatrix
 from spalinalg_tpu.errors import ShapeError
@@ -104,3 +105,53 @@ def test_from_csr_rejects_scattered(rng):
     # because band = n; verify it at least round-trips correctly
     A = DiaMatrix.from_csr(csr)
     np.testing.assert_allclose(np.asarray(A.to_dense()), d, atol=1e-12)
+
+
+# ---------------------------------------------------------------------
+# Streaming Pallas kernel (ops/kernels/dia_stream) — interpret mode
+# replays the exact kernel math on CPU.
+# ---------------------------------------------------------------------
+
+def test_dia_stream_kernel_matches_xla(rng):
+    from spalinalg_tpu.ops.kernels.dia_stream import dia_spmv
+
+    for (n, m, offs) in [(4096, 4096, [-1, 0, 1]),
+                         (5000, 5000, [-130, -1, 0, 7, 129, 257]),
+                         (300, 1000, [0, 5, 600]),
+                         (1000, 300, [-299, -1, 0, 200])]:
+        data = rng.normal(size=(len(offs), n)).astype(np.float32)
+        dia = DiaMatrix(n, m, offs, jnp.asarray(data))
+        x = rng.normal(size=m).astype(np.float32)
+        ref = np.asarray(dia._matvec_xla(jnp.asarray(x)))
+        y = np.asarray(dia_spmv(offs, jnp.asarray(data), jnp.asarray(x),
+                                n, m, interpret=True))
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_dia_stream_kernel_grads(rng):
+    from spalinalg_tpu.ops.kernels.dia_stream import dia_spmv
+
+    n, offs = 512, [-2, 0, 3]
+    data = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def f(d, xx):
+        return jnp.vdot(g, dia_spmv(offs, d, xx, n, n, interpret=True))
+
+    def f_ref(d, xx):
+        return jnp.vdot(g, DiaMatrix(n, n, offs, d)._matvec_xla(xx))
+
+    gd, gx = jax.grad(f, argnums=(0, 1))(data, x)
+    rd, rx = jax.grad(f_ref, argnums=(0, 1))(data, x)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(rd), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
+
+
+def test_dia_stream_eligibility_gates():
+    from spalinalg_tpu.ops.kernels.dia_stream import dia_stream_eligible
+
+    assert dia_stream_eligible([-1, 0, 1], 4096, 4096, np.float32)
+    assert not dia_stream_eligible([-1, 0, 1], 4096, 4096, np.float64)
+    # resident x beyond the VMEM budget
+    assert not dia_stream_eligible([0], 1 << 26, 1 << 26, np.float32)
