@@ -60,8 +60,8 @@ __all__ = ["RoutePlan", "build_route_plan", "route_spmv", "route_spmm",
 
 _LANE = 128
 _BLK = 128                  # rows per block == windows per slice
-_H = 512                    # dest tile sublanes = K * R
-_D = _H // _BLK             # dest blocks per tile
+_HMAX = 512                 # max dest tile sublanes (H = K * R per plan;
+                            # spill levels use shorter pages, r4)
 _SLICE_COLS = _BLK * _LANE  # 16384 columns per slice
 _MAX_TABLE_BYTES = 2 << 30
 
@@ -84,6 +84,7 @@ class RoutePlan:
     T: int                  # row steps
     S: int                  # column slices
     RPP: int                # rows used per page (<= R*128; load slack)
+    H: int                  # dest tile sublanes (= K * R; <= 512)
     FP: jax.Array           # (T*S, 512, 128) i32 — packed F1|F2<<8|F3<<16
     val_slot: np.ndarray    # (n_routed,) flat index into VALS per entry
     val_src: np.ndarray     # (n_routed,) original-values index per entry
@@ -108,9 +109,9 @@ class RoutePlan:
         hit = self._baked.get(id(values))
         if hit is not None and hit[0] is values:
             return hit[1]
-        v = np.zeros(self.T * self.S * _H * _LANE, np.float32)
+        v = np.zeros(self.T * self.S * self.H * _LANE, np.float32)
         v[self.val_slot] = np.asarray(values, np.float32)[self.val_src]
-        VALS = jnp.asarray(v.reshape(self.T * self.S, _H, _LANE))
+        VALS = jnp.asarray(v.reshape(self.T * self.S, self.H, _LANE))
         if len(self._baked) >= 4:
             self._baked.pop(next(iter(self._baked)))
         self._baked[id(values)] = (values, VALS)
@@ -120,9 +121,9 @@ class RoutePlan:
         """VALS table from (possibly traced) values — one device
         scatter whose transpose is a gather, so grads are cheap."""
         v = values.astype(jnp.float32)[jnp.asarray(self.val_src)]
-        flat = jnp.zeros(self.T * self.S * _H * _LANE, jnp.float32)
+        flat = jnp.zeros(self.T * self.S * self.H * _LANE, jnp.float32)
         flat = flat.at[jnp.asarray(self.val_slot)].set(v)
-        return flat.reshape(self.T * self.S, _H, _LANE)
+        return flat.reshape(self.T * self.S, self.H, _LANE)
 
     @property
     def rows_per_step(self) -> int:
@@ -130,7 +131,7 @@ class RoutePlan:
 
     @property
     def table_bytes(self) -> int:
-        return int(self.T) * int(self.S) * _H * _LANE * 8
+        return int(self.T) * int(self.S) * int(self.H) * _LANE * 8
 
     # unpacked views (host/test convenience; the kernel unpacks in-register)
     @property
@@ -319,22 +320,25 @@ def _repair_colors(grp, forb, share, m, bad):
     return m, ok
 
 
-_TARGET_LOAD = 0.72     # coloring load ceiling (slack pages beyond)
+_TARGET_LOAD = 0.88     # coloring load ceiling (slack pages beyond)
 _VROW_COST = 0.006      # XLA scatter-add cost per virtual row, in
                         # units of one (512,128) table page
+_HEAVY_FACTOR = 4       # rows wider than _HEAVY_FACTOR*K use vrows
+_SPILL_ENTRY = 6e-5     # marginal recursive-spill cost per entry (pages)
+_SPILL_CALL = 6.0       # fixed cost of the extra spill pallas call
 
 
-def _page_geometry(K: int, nrows_tot: int, nnz: int, S: int):
+def _page_geometry(K: int, H: int, nrows_tot: int, nnz: int, S: int):
     """(T, RPP): pages per slice and rows used per page.
 
     T covers all (real+virtual) rows AND keeps average slot load under
     ``_TARGET_LOAD`` (dense packing makes the edge coloring infeasible
     — per-source-row request counts overflow the 128 colors).
     """
-    R = _H // K
+    R = H // K
     cap = R * _LANE
     T_rows = -(-nrows_tot // cap)
-    T_load = -(-nnz // max(1, int(_TARGET_LOAD * S * _H * _LANE)))
+    T_load = -(-nnz // max(1, int(_TARGET_LOAD * S * H * _LANE)))
     T = max(1, T_rows, T_load)
     RPP = min(cap, -(-nrows_tot // T // _LANE) * _LANE)
     RPP = max(RPP, _LANE)
@@ -343,20 +347,45 @@ def _page_geometry(K: int, nrows_tot: int, nnz: int, S: int):
 
 
 def _choose_K(maxcnt_per_row: np.ndarray, nrows: int, S: int,
-              nnz: int) -> int:
-    """Pick the ELL width minimising table pages + virtual-row cost."""
+              nnz: int, gcounts: np.ndarray, grows: np.ndarray,
+              depth: int) -> int:
+    """Pick the ELL width minimising table pages + overflow cost.
+
+    Overflow beyond K per (row, slice) has two exits (r4 redesign —
+    the ELL load cap *is* the mean/max count ratio, so shrinking K
+    below the max is the main lever on table pages):
+
+    - *heavy* rows (wider than ``_HEAVY_FACTOR*K`` per slice) absorb
+      overflow in virtual rows — one XLA scatter-add element per vrow;
+    - everything else spills to the *recursive routed plan*, whose
+      marginal cost per entry is tiny but which pays one extra
+      pallas-call dispatch.
+    """
     if maxcnt_per_row.size == 0 or maxcnt_per_row.max() == 0:
-        return 1
-    best, bestK = None, 1
-    K = 1
-    while K <= _H:
-        nvr = int(((np.maximum(maxcnt_per_row, 1) - 1) // K).sum())
-        T, _ = _page_geometry(K, nrows + nvr, nnz, S)
-        cost = T * S + nvr * _VROW_COST
-        if best is None or cost <= best:  # ties -> larger K, fewer vrows
-            best, bestK = cost, K
-        K *= 2
-    return bestK
+        return 1, 128
+    best, bestK, bestH = None, 1, _HMAX
+    for H in (128, 256, 512):
+        K = 1
+        while K <= H and H // K >= 8:  # R >= 8 (sublane alignment)
+            heavy = maxcnt_per_row > _HEAVY_FACTOR * K
+            nvr = int(((np.maximum(maxcnt_per_row[heavy], 1) - 1)
+                       // K).sum())
+            light_g = ~heavy[grows]
+            over = int(np.maximum(gcounts[light_g] - K, 0).sum())
+            if depth >= 3:
+                # last recursion level: no further spill plan — overflow
+                # must fit (vrows) or pay the slow XLA scatter per entry
+                cost_over = over * _VROW_COST
+            else:
+                cost_over = (over * _SPILL_ENTRY + _SPILL_CALL
+                             if over >= 1024 else over * _VROW_COST)
+            T, _ = _page_geometry(K, H, nrows + nvr, nnz - over, S)
+            # page cost scales with its height (DMA + vreg ops)
+            cost = T * S * (H / 512.0) + nvr * _VROW_COST + cost_over
+            if best is None or cost <= best:  # ties -> larger K
+                best, bestK, bestH = cost, K, H
+            K *= 2
+    return bestK, bestH
 
 
 def _color_all(grp, forb, share, rng):
@@ -415,31 +444,52 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         run = np.cumsum(new) - 1
         kpos = np.arange(nnz, dtype=np.int64) - gstart[run]
         gcounts = np.diff(np.append(gstart, nnz))
+        grows = rows[gstart]
         maxcnt_per_row = np.zeros(nrows, np.int64)
-        np.maximum.at(maxcnt_per_row, rows[gstart], gcounts)
+        np.maximum.at(maxcnt_per_row, grows, gcounts)
     else:
         kpos = np.zeros(0, np.int64)
+        gcounts = np.zeros(0, np.int64)
+        grows = np.zeros(0, np.int64)
         maxcnt_per_row = np.zeros(nrows, np.int64)
 
-    K = _choose_K(maxcnt_per_row, nrows, S, nnz)
-    R = _H // K
+    K, H = _choose_K(maxcnt_per_row, nrows, S, nnz, gcounts, grows,
+                     _depth)
+    R = H // K
+    D = H // _BLK
 
-    # --- virtual rows absorb overflow beyond K per (row, slice) -----
-    # entry with chunk q = kpos // K >= 1 lands in virtual row
-    # (r, q); y[r] += y_virtual afterwards (small scatter-add).
+    # --- overflow beyond K per (row, slice) ------------------------
+    # heavy rows absorb it in virtual rows (entry with chunk
+    # q = kpos // K >= 1 lands in virtual row (r, q); y[r] +=
+    # y_virtual afterwards, one scatter-add element per vrow); light
+    # overflow goes to the recursive spill plan instead — K can then
+    # sit near the MEAN per-(row, slice) count rather than the max,
+    # which is the ELL slot-load lever (r4).
     q = kpos // K
     kk = kpos % K
-    nvr_per_row = np.maximum((np.maximum(maxcnt_per_row, 1) - 1)
-                             // K, 0)
+    heavy = maxcnt_per_row > _HEAVY_FACTOR * K
+    if nnz:
+        light_over = int(np.maximum(
+            gcounts[~heavy[grows]] - K, 0).sum())
+        if light_over < 1024:
+            # too little overflow to justify a recursive spill call:
+            # absorb it all in virtual rows (old r3 behaviour)
+            heavy = maxcnt_per_row > K
+    nvr_per_row = np.where(
+        heavy,
+        np.maximum((np.maximum(maxcnt_per_row, 1) - 1) // K, 0), 0)
     vrow_base = nrows + np.concatenate(
         [[0], np.cumsum(nvr_per_row)])[:-1]
     vrow_src = np.repeat(np.arange(nrows, dtype=np.int64), nvr_per_row)
     nvr = int(nvr_per_row.sum())
+    routable = (q == 0) | heavy[rows]
+    n_over = int(nnz - routable.sum())
     dest_row = np.where(q == 0, rows, vrow_base[rows] + (q - 1))
+    dest_row = np.where(routable, dest_row, 0)  # dummy for spilled
 
     nrows_tot = nrows + nvr
-    T, RPP = _page_geometry(K, nrows_tot, nnz, S)
-    if T * S * _H * _LANE * 16 > _MAX_TABLE_BYTES:
+    T, RPP = _page_geometry(K, H, nrows_tot, nnz - n_over, S)
+    if T * S * H * _LANE * 16 > _MAX_TABLE_BYTES:
         raise ValueError("route plan tables would exceed memory budget")
 
     t_r = dest_row // RPP
@@ -456,20 +506,27 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     lc = cl // _LANE                        # source lane
 
     # --- stage coloring: one per (step, slice, dest block) ----------
+    # only routable entries enter the coloring (spill-bound overflow
+    # would waste slots and manufacture false conflicts)
     page = t_r * S + sl
-    grp = (page * _D + d_r) * _BLK + sdb
-    forb = (page * _D + d_r) * _BLK + rr
-    m, ok = _color_all(grp, forb, lc, rng)
+    grp = (page * D + d_r) * _BLK + sdb
+    forb = (page * D + d_r) * _BLK + rr
+    ridx = np.flatnonzero(routable)
+    m_s, ok_s = _color_all(grp[ridx], forb[ridx], lc[ridx], rng)
+    m = np.zeros(nnz, np.int64)
+    ok = np.zeros(nnz, bool)
+    m[ridx] = m_s
+    ok[ridx] = ok_s
 
     # --- materialise tables -----------------------------------------
-    F1 = np.zeros((T * S, _H, _LANE), np.int32)
-    F2 = np.zeros((T * S, _H, _LANE), np.int32)
-    F3 = np.zeros((T * S, _H, _LANE), np.int32)
+    F1 = np.zeros((T * S, H, _LANE), np.int32)
+    F2 = np.zeros((T * S, H, _LANE), np.int32)
+    F3 = np.zeros((T * S, H, _LANE), np.int32)
     g = ok
     F1[page[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g]
     F2[page[g], d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
     F3[page[g], d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
-    val_slot = (page[g] * _H + sdest[g]) * _LANE + l_r[g]
+    val_slot = (page[g] * H + sdest[g]) * _LANE + l_r[g]
     val_src = entry_src[g]
 
     sp_rows = rows[~g]
@@ -477,7 +534,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     sp_src = entry_src[~g]
 
     spill_plan = None
-    if sp_rows.size >= 1024 and _depth < 2:
+    if sp_rows.size >= 1024 and _depth < 4:
         # spill entries are in (row, col) order (masked row-major scan)
         sp_ptr = np.zeros(nrows + 1, np.int64)
         np.add.at(sp_ptr, sp_rows + 1, 1)
@@ -490,7 +547,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     FP = F1 | (F2 << 8) | (F3 << 16)
 
     return RoutePlan(
-        nrows=nrows, ncols=ncols, K=K, R=R, T=T, S=S, RPP=RPP,
+        nrows=nrows, ncols=ncols, K=K, R=R, T=T, S=S, RPP=RPP, H=H,
         FP=jnp.asarray(FP),
         val_slot=val_slot, val_src=val_src, vrow_src=vrow_src,
         spill=(sp_rows, sp_cols, sp_src),
@@ -513,6 +570,7 @@ def simulate_route(plan: RoutePlan, x: np.ndarray,
                    values=None) -> np.ndarray:
     """Replay the kernel's routing in NumPy (routed entries only)."""
     K, R, T, S = plan.K, plan.R, plan.T, plan.S
+    H, D = plan.H, plan.H // _BLK
     X = np.zeros(S * _SLICE_COLS, np.float32)
     X[: plan.ncols] = np.asarray(x, np.float32)[: plan.ncols]
     # column-major slices: X[s][rr, lc] = x_slice[lc*128 + rr]
@@ -520,17 +578,17 @@ def simulate_route(plan: RoutePlan, x: np.ndarray,
     if values is None:
         values = plan.default_values
     F1, F2, F3 = (np.asarray(a) for a in (plan.F1, plan.F2, plan.F3))
-    VALS = np.asarray(plan.bake(values)).reshape(T * S, _H, _LANE)
+    VALS = np.asarray(plan.bake(values)).reshape(T * S, H, _LANE)
     y = np.zeros((T, R * _LANE), np.float32)
     for t in range(T):
         acc = np.zeros((R, _LANE), np.float32)
         for s in range(S):
             p = t * S + s
-            P = np.zeros((_H, _LANE), np.float32)
-            for d in range(_D):
+            P = np.zeros((H, _LANE), np.float32)
+            for d in range(D):
                 b = slice(d * _BLK, (d + 1) * _BLK)
-                H = np.take_along_axis(X[s], F1[p, b], axis=1)
-                Sm = np.take_along_axis(H.T, F2[p, b], axis=1)
+                Hm = np.take_along_axis(X[s], F1[p, b], axis=1)
+                Sm = np.take_along_axis(Hm.T, F2[p, b], axis=1)
                 P[b] = np.take_along_axis(Sm.T, F3[p, b], axis=1)
             P *= VALS[p]
             for k in range(K):
@@ -568,23 +626,23 @@ def _take_lane(src, idx):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP, fill_value=0.0)
 
 
-def _blocked_takes(X2, fp):
-    """The 2-corner-turn routing for all 4 dest blocks in 3 batched
-    lane gathers (vs 12 small ones — per-step op issues bound these
+def _blocked_takes(X2, fp, D):
+    """The 2-corner-turn routing for all D dest blocks in 3 batched
+    lane gathers (vs 3*D small ones — per-step op issues bound these
     kernels; the source tile is replicated per block)."""
-    Xr = jnp.concatenate([X2] * _D, axis=0)              # (512, 128)
+    Xr = X2 if D == 1 else jnp.concatenate([X2] * D, axis=0)
     H = _take_lane(Xr, fp & jnp.int32(0xFF))
-    Ht = jnp.swapaxes(H.reshape(_D, _BLK, _LANE), 1, 2)
-    Sm = _take_lane(Ht.reshape(_D * _BLK, _LANE),
+    Ht = jnp.swapaxes(H.reshape(D, _BLK, _LANE), 1, 2)
+    Sm = _take_lane(Ht.reshape(D * _BLK, _LANE),
                     (fp >> jnp.int32(8)) & jnp.int32(0xFF))
-    St = jnp.swapaxes(Sm.reshape(_D, _BLK, _LANE), 1, 2)
-    return _take_lane(St.reshape(_D * _BLK, _LANE),
+    St = jnp.swapaxes(Sm.reshape(D, _BLK, _LANE), 1, 2)
+    return _take_lane(St.reshape(D * _BLK, _LANE),
                       (fp >> jnp.int32(16)) & jnp.int32(0xFF))
 
 
-def _route_kernel(x_ref, fp_ref, v_ref, o_ref, *, K, R):
+def _route_kernel(x_ref, fp_ref, v_ref, o_ref, *, K, R, D):
     s = pl.program_id(1)
-    P = _blocked_takes(x_ref[...], fp_ref[0]) * v_ref[0]
+    P = _blocked_takes(x_ref[...], fp_ref[0], D) * v_ref[0]
     acc = jnp.zeros((R, _LANE), jnp.float32)
     for k in range(K):
         acc = acc + P[k * R:(k + 1) * R]
@@ -599,28 +657,30 @@ def _route_kernel(x_ref, fp_ref, v_ref, o_ref, *, K, R):
         o_ref[0] = o_ref[0] + acc
 
 
-@partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nrows",
-                                   "interpret"))
-def _route_call(FP, VALS, x, *, K, R, T, S, RPP, nrows,
-                interpret=False):
-    x = x.astype(jnp.float32)
+@partial(jax.jit, static_argnames=("S",))
+def _prep_x(x, *, S):
+    """Column-major slice layout of the operand, shared by every
+    route level of one SpMV (they all have the same ncols/S)."""
     X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
     X = X.at[: x.shape[0]].set(x.astype(jnp.float32))
-    # column-major slices (see build_route_plan): one transpose per
-    # slice, outside the kernel (XLA handles it once per call).
     X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
-    X = X.reshape(S * _BLK, _LANE)
+    return X.reshape(S * _BLK, _LANE)
 
+
+@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
+                                   "nrows", "interpret"))
+def _route_call(FP, VALS, X, *, K, R, H, T, S, RPP, nrows,
+                interpret=False):
     # Index maps must return i32 everywhere: a Python literal ``0``
     # traces as weak-i64 under the package-global ``jax_enable_x64``
     # and Mosaic then fails to legalize the map's ``func.return``
     # (observed on libtpu v5e AOT: "(i32, i64) -> ()").
     _z = lambda: jnp.int32(0)
     stream = lambda: pl.BlockSpec(
-        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
+        (1, H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
-        partial(_route_kernel, K=K, R=R),
+        partial(_route_kernel, K=K, R=R, D=H // _BLK),
         grid=(T, S),
         in_specs=[
             pl.BlockSpec((_BLK, _LANE), lambda t, s: (s, _z()),
@@ -631,6 +691,10 @@ def _route_call(FP, VALS, x, *, K, R, T, S, RPP, nrows,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
+        # 64 MB VMEM budget: deeper stream double-buffering — measured
+        # 65 -> 52.7 us on the 32-page bench plan (r4)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
     )
     y = fn(X, FP, VALS)
     return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
@@ -688,8 +752,8 @@ _route_spmv_ad.defvjp(_route_spmv_ad_fwd, _route_spmv_ad_bwd)
 # ---------------------------------------------------------------------
 
 
-def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol,
-                       chunk):
+def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, D,
+                       ncol, chunk):
     s = pl.program_id(1)
     fp = fp_ref[0]
     v = v_ref[0]
@@ -701,7 +765,7 @@ def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol,
         X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
         ps = []
         for c in range(chunk):
-            ps.append(_blocked_takes(X3[c], fp) * v)  # (512, 128)
+            ps.append(_blocked_takes(X3[c], fp, D) * v)  # (H, 128)
         P = jnp.stack(ps, axis=0)                     # (CH, 512, 128)
         acc = jnp.zeros((chunk, R, _LANE), jnp.float32)
         for k in range(K_ell):
@@ -716,9 +780,9 @@ def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, ncol,
             o_ref[0, c0:c0 + chunk] = o_ref[0, c0:c0 + chunk] + acc
 
 
-@partial(jax.jit, static_argnames=("K_ell", "R", "T", "S", "RPP", "ncol",
-                                   "interpret"))
-def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
+@partial(jax.jit, static_argnames=("K_ell", "R", "H", "T", "S", "RPP",
+                                   "ncol", "interpret"))
+def _route_spmm_call(FP, VALS, X, *, K_ell, R, H, T, S, RPP, ncol,
                      interpret=False):
     X = X.astype(jnp.float32)
     Xp = jnp.zeros((S * _SLICE_COLS, ncol), jnp.float32)
@@ -730,7 +794,7 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
 
     _z = lambda: jnp.int32(0)
     stream = lambda: pl.BlockSpec(
-        (1, _H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
+        (1, H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
     # chunk > 1 batches the lane gathers across RHS columns but must
     # materialise the index tiles per chunk (Mosaic has no 3-D batched
@@ -738,8 +802,8 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
     # take issues (3.2 ms vs 1.6 ms at ncol=64), so stay per-column.
     chunk = 1
     fn = pl.pallas_call(
-        partial(_route_spmm_kernel, K_ell=K_ell, R=R, ncol=ncol,
-                chunk=chunk),
+        partial(_route_spmm_kernel, K_ell=K_ell, R=R, D=H // _BLK,
+                ncol=ncol, chunk=chunk),
         grid=(T, S),
         in_specs=[
             pl.BlockSpec((1, ncol, _BLK, _LANE),
@@ -752,6 +816,8 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, T, S, RPP, ncol,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, ncol, R, _LANE), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
     )
     Y = fn(Xp, FP, VALS)
     # (T, ncol, R, 128) -> rows-major (T, R*128, ncol) -> trim RPP
@@ -804,8 +870,9 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
     VALS = plan.device_vals(values) if traced else plan.bake(values)
     ncol = int(X.shape[1])
     Yr = _route_spmm_call(plan.FP, VALS, X,
-                          K_ell=plan.K, R=plan.R, T=plan.T, S=plan.S,
-                          RPP=plan.RPP, ncol=ncol, interpret=interpret)
+                          K_ell=plan.K, R=plan.R, H=plan.H, T=plan.T,
+                          S=plan.S, RPP=plan.RPP, ncol=ncol,
+                          interpret=interpret)
     Y = Yr[: plan.nrows]
     nvr = plan.vrow_src.size
     if nvr:
@@ -826,11 +893,13 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
     return Y
 
 
-def _route_spmv_impl(plan: RoutePlan, x, values, interpret):
+def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None):
     traced = isinstance(values, jax.core.Tracer)
     VALS = plan.device_vals(values) if traced else plan.bake(values)
-    yr = _route_call(plan.FP, VALS, x,
-                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
+    # one shared operand layout for the whole spill chain (same ncols)
+    X = _prep_x(x, S=plan.S) if _X is None else _X
+    yr = _route_call(plan.FP, VALS, X,
+                     K=plan.K, R=plan.R, H=plan.H, T=plan.T, S=plan.S,
                      RPP=plan.RPP, nrows=plan.nrows, interpret=interpret)
     y = yr[: plan.nrows]
     nvr = plan.vrow_src.size
@@ -838,7 +907,8 @@ def _route_spmv_impl(plan: RoutePlan, x, values, interpret):
         y = y.at[jnp.asarray(plan.vrow_src)].add(
             yr[plan.nrows: plan.nrows + nvr])
     if plan.spill_plan is not None:
-        y = y + _route_spmv_impl(plan.spill_plan, x, values, interpret)
+        y = y + _route_spmv_impl(plan.spill_plan, x, values, interpret,
+                                 _X=X)
     elif plan.spill[0].size:
         sp_rows, sp_cols, sp_src = plan.spill
         if traced:

@@ -43,8 +43,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .csr_route import (_BLK, _D, _H, _LANE, _SLICE_COLS, _choose_K,
+from .csr_route import (_BLK, _LANE, _SLICE_COLS, _VROW_COST,
                         _color_all, _page_geometry, _take_lane)
+
+_H = 512                # pair-route pages stay full height
+_D = _H // _BLK
+
+
+def _choose_K_pair(maxcnt, nrows, S, nnz):
+    """ELL width for the pair tables: pages vs virtual-row tradeoff
+    (the SpGEMM tail has no recursive spill tier — overflow rides
+    virtual output rows folded by the merged tail scatter)."""
+    if maxcnt.size == 0 or maxcnt.max() == 0:
+        return 1
+    best, bestK = None, 1
+    K = 1
+    while K <= _H:
+        nvr = int(((np.maximum(maxcnt, 1) - 1) // K).sum())
+        T, _ = _page_geometry(K, _H, nrows + nvr, nnz, S)
+        cost = T * S + nvr * _VROW_COST
+        if best is None or cost <= best:
+            best, bestK = cost, K
+        K *= 2
+    return bestK
 
 __all__ = ["PairRoutePlan", "build_pair_route_plan", "pair_route_apply",
            "simulate_pair_route"]
@@ -109,7 +130,7 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
         kpos = np.zeros(0, np.int64)
         maxcnt = np.zeros(n_out, np.int64)
 
-    K = _choose_K(maxcnt, n_out, S, n_terms)
+    K = _choose_K_pair(maxcnt, n_out, S, n_terms)
     R = _H // K
 
     q = kpos // K
@@ -121,7 +142,7 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     dest_row = np.where(q == 0, gid, vrow_base[gid] + (q - 1))
 
     nrows_tot = n_out + nvr
-    T, RPP = _page_geometry(K, nrows_tot, n_terms, S)
+    T, RPP = _page_geometry(K, _H, nrows_tot, n_terms, S)
     # Slot-load slack: at 100 % packing each (block, source-row) pair
     # sees Poisson(128) requests against exactly 128 colors, forcing a
     # structural ~4 % coloring overflow (measured). ~12 % slack pulls

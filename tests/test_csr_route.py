@@ -74,8 +74,18 @@ class TestRoutePlan:
             (rng.normal(size=indptr[-1]), np.concatenate(ind), indptr),
             shape=(1000, 1200))
         plan = _check(A, rng)
-        # wide rows go through virtual rows, not the spill path
-        assert plan.vrow_src.size > 0
+        # wide rows are absorbed structurally (virtual rows for the
+        # widest, recursive spill plans for the binomial tail) — not
+        # dumped on the XLA residual path (r4: the vrow threshold
+        # moved to _HEAVY_FACTOR*K, so spill plans carry the mid tail)
+        deepest = plan
+        while deepest.spill_plan is not None:
+            deepest = deepest.spill_plan
+        assert plan.vrow_src.size > 0 or plan.spill_plan is not None
+        # the XLA residual only carries what is below the recursion
+        # threshold (or a bounded fraction after depth exhaustion)
+        assert (deepest.spill[0].size < 1024
+                or deepest.spill[0].size < 0.05 * plan.nnz)
         assert plan.spill_frac < 0.02
 
     def test_hot_column_multicast(self, rng):
@@ -110,7 +120,7 @@ class TestRoutePlan:
         for F in (plan.F1, plan.F2, plan.F3):
             f = np.asarray(F)
             assert f.min() >= 0 and f.max() < 128
-        assert plan.K * plan.R == 512
+        assert plan.K * plan.R == plan.H
         assert plan.RPP % 128 == 0
 
 
