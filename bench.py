@@ -418,6 +418,18 @@ def main() -> None:
         # the injected site hook pins the TPU plugin regardless of
         # JAX_PLATFORMS; the config API wins pre-initialisation
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the SpGEMM pallas program costs
+    # ~13-30 s to compile; across bench runs (and user deployments)
+    # the executable comes back from disk instead (VERDICT r3 #3).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+    except Exception as e:  # cache is an optimisation, never fatal
+        print(f"[bench] compilation cache unavailable: {e!r}",
+              file=sys.stderr)
     _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "3300")))
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)

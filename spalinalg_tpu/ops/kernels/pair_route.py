@@ -376,6 +376,8 @@ def _pair_call(FPA, FPB, has_a, has_b, a_vals, b_vals, *, K, R, T, S,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
     )
     y = fn(has_a, has_b, Xa, Xb, FPA, FPB)
     # interleaved slot layout (lr = l*R + r): one XLA transpose per call
