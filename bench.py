@@ -580,6 +580,55 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] chol failed: {e!r}", file=sys.stderr)
 
+    # ---- f64 BSR via the double-float kernel (reference's primary
+    # scalar, `scalar.rs:56-57`). Two-f32 value planes + error-free
+    # f32 transforms on the VPU: ~1e-15 relative vs the f64 oracle at
+    # f32 streaming speeds (vs XLA's software-emulated f64 at 0.1 %
+    # of roofline). Data generated on device (H2D is minutes-slow) and
+    # sized past VMEM so promotion cannot flatter the number.
+    try:
+        import jax.numpy as jnp
+
+        from spalinalg_tpu import BsrMatrix
+        from spalinalg_tpu.dtypes import INDEX_DTYPE
+
+        bs = 128
+        nbr = 512 if on_tpu else 8
+        n = nbr * bs
+        indptr = [0]
+        indices = []
+        for i in range(nbr):
+            cols = [j for j in (i - 2, i - 1, i, i + 1, i + 2)
+                    if 0 <= j < nbr]
+            indices.extend(cols)
+            indptr.append(len(indices))
+        nblocks = len(indices)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        d32 = jax.random.normal(k1, (nblocks, bs, bs), jnp.float32)
+        dlo = jax.random.normal(k2, (nblocks, bs, bs), jnp.float32)
+        data64 = d32.astype(jnp.float64) + (dlo * 1e-9).astype(jnp.float64)
+        dfbsr = BsrMatrix._from_parts(
+            n, n, bs, bs,
+            jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
+            jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE), data64)
+        dfx = jax.random.normal(jax.random.PRNGKey(3), (n,),
+                                jnp.float32).astype(jnp.float64)
+        nnz_df = nblocks * bs * bs
+        roof = hbm / 8.0  # hi+lo f32 planes per value
+        from spalinalg_tpu.ops.bsr_ops import _df_dispatch
+
+        df_path = "pallas_df" if _df_dispatch(dfbsr, dfx) else "xla_f64"
+        per, diag = _measure(lambda v: dfbsr @ v, dfx,
+                             ks=(16, 80, 144) if on_tpu else (1, 2, 3),
+                             reps=reps,
+                             max_rate=roof / nnz_df if on_tpu else None)
+        secondary.update(_emit("bsr_f64df_spmv_nnz_per_s", nnz=nnz_df,
+                               per=per, diag=diag, roof_rate=roof,
+                               frac_key="bsr_f64df_roofline_frac",
+                               path=df_path))
+    except Exception as e:
+        print(f"[bench] bsr_f64df failed: {e!r}", file=sys.stderr)
+
     # ---- CSR random f64 LAST (reference's primary scalar; VERDICT r2
     # missing #2). f64 on TPU is emulated: minutes-slow compiles, so it
     # runs after everything else is banked.

@@ -70,7 +70,28 @@ def bsr_matvec(bsr, x: jax.Array) -> jax.Array:
                       nnz=nnz, flops=2 * nnz, bytes=itm * nnz)
 
 
+def _df_dispatch(bsr, x) -> bool:
+    from ..config import current_config
+    from .kernels.bsr_df import df_eligible
+
+    if not current_config().use_pallas:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    if isinstance(bsr.indptr, jax.core.Tracer) or isinstance(
+            bsr.data, jax.core.Tracer):
+        return False  # hi/lo split artifacts are cached per structure
+    nbr = bsr.nrows // bsr.blocksize[0]
+    return df_eligible(nbr, bsr.n_blocks, *bsr.blocksize, bsr.dtype)
+
+
 def _bsr_matvec_impl(bsr, x):
+    if bsr.dtype == jnp.float64 and _df_dispatch(bsr, x):
+        # double-float kernel: f64-class accuracy (~1e-15 rel) at f32
+        # streaming speeds vs XLA's software-emulated f64 (~1900x)
+        from .kernels.bsr_df import bsr_matvec_df
+
+        return bsr_matvec_df(bsr, x)
     if _use_pallas(bsr, x.shape[0] * x.dtype.itemsize):
         from .kernels.bsr_stream import bsr_matvec_stream
 
