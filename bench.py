@@ -260,33 +260,58 @@ def bench_chol(on_tpu, secondary):
         for bk in buckets:
             B, ns, mu = bk.sids.size, bk.nsp, bk.mup
             flops += B * (ns ** 3 / 3 + ns * ns * mu + ns * mu * mu)
-    # re-factor with the cached plan: numeric phase only
-    from spalinalg_tpu.linalg.supernodal import supernodal_factor
 
-    vals2 = csr.values * np.float32(1 + next(_seed) * 1e-6)
-    # reuse postorder value permutation implicitly: re-run on same plan
-    t0 = time.perf_counter()
-    snf2 = supernodal_factor(fac.snf.plan, vals2)
-    jax.block_until_ready(list(snf2.panels.values()))
-    t_num = time.perf_counter() - t0
+    # Re-factor and solve are measured as SLOPES over in-program loops
+    # like every other metric: through the relay a single dispatch has
+    # a ~25-40 ms floor, which is what r3's 43.5 ms "refactor" and
+    # 186.6 ms "solve" (three separate dispatches) actually measured.
+    from spalinalg_tpu.linalg import supernodal as sn
+
+    plan = fac.snf.plan
+
+    @partial(jax.jit, static_argnames=("k",))
+    def refac_loop(v0, k):
+        def it(i, c):
+            panels = sn._factor_all(plan, v0 * (1.0 + c * 1e-12))
+            last = panels[max(panels)]
+            return c + last[0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, k, it, v0.dtype.type(0))
+
+    def refac_fn(x, k):
+        return refac_loop(x, k=k)
+
+    ks_f = (2, 8, 14) if on_tpu else (1, 2, 3)
+    per_f, diag_f = _measure(None, csr.values, ks=ks_f,
+                             reps=3 if on_tpu else 1, loop_fn=refac_fn)
 
     b = jnp.asarray(np.random.default_rng(1).normal(size=n)
                     .astype(np.float32))
     x = cholesky_solve(fac, b)
     jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        x = cholesky_solve(fac, b * np.float32(1 + next(_seed) * 1e-6))
-        jax.block_until_ready(x)
-    t_solve = (time.perf_counter() - t0) / 3
+
+    @partial(jax.jit, static_argnames=("k",))
+    def solve_loop(bb, k):
+        def it(i, bc):
+            xs = sn._solve_all(plan, fac.snf.panels, bc)
+            return bc * (1.0 + jnp.sum(xs) * 1e-20)
+        return jax.lax.fori_loop(0, k, it, bb)
+
+    def solve_fn(x, k):
+        return solve_loop(x, k=k)
+
+    per_s, diag_s = _measure(None, b, ks=(2, 10, 18) if on_tpu
+                             else (1, 2, 3), reps=3 if on_tpu else 1,
+                             loop_fn=solve_fn)
+    t_num = per_f if per_f is not None else float("nan")
+    t_solve = per_s if per_s is not None else float("nan")
     secondary["chol_laplacian_n"] = n
     secondary["chol_laplacian_factor_ms"] = round(t_total * 1e3, 1)
-    secondary["chol_laplacian_refactor_ms"] = round(t_num * 1e3, 1)
+    secondary["chol_laplacian_refactor_ms"] = round(t_num * 1e3, 2)
     secondary["chol_laplacian_gflops"] = round(flops / t_num / 1e9, 2)
-    secondary["chol_laplacian_solve_ms"] = round(t_solve * 1e3, 1)
+    secondary["chol_laplacian_solve_ms"] = round(t_solve * 1e3, 2)
     print(f"[bench] chol_laplacian n={n} factor {t_total*1e3:.0f} ms "
-          f"(numeric re-factor {t_num*1e3:.0f} ms = "
-          f"{flops/t_num/1e9:.1f} GFLOP/s), solve {t_solve*1e3:.1f} ms",
+          f"(numeric re-factor {t_num*1e3:.1f} ms = "
+          f"{flops/t_num/1e9:.1f} GFLOP/s), solve {t_solve*1e3:.2f} ms",
           file=sys.stderr)
 
 

@@ -173,12 +173,14 @@ def cholesky(csr, *, reorder: bool = True, panel: int = 64,
 def cholesky_solve(fac: CholeskyFactor, b) -> jax.Array:
     """Solve ``A x = b`` given a :func:`cholesky` factor."""
     b = jnp.asarray(b)
-    bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
     if fac.snf is not None:
+        # one fused program incl. permutations (3 separate dispatches
+        # cost ~120 ms of relay floor otherwise)
         from .supernodal import supernodal_solve
 
-        xp = supernodal_solve(fac.snf, bp)
-    elif fac.is_dense:
+        return supernodal_solve(fac.snf, b, perm=fac.perm)
+    bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
+    if fac.is_dense:
         from jax.scipy.linalg import solve_triangular
 
         y = solve_triangular(fac.dense_l, bp, lower=True)

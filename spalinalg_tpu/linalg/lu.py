@@ -156,12 +156,13 @@ def lu(csr, *, reorder: bool = True, panel: int = 64,
 
 
 def _lu_solve_once(fac: LuFactor, b) -> jax.Array:
-    bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
     if fac.snlu is not None:
+        # fused program incl. permutations (dispatch-floor avoidance)
         from .supernodal_lu import supernodal_lu_solve
 
-        xp = supernodal_lu_solve(fac.snlu, bp)
-    elif fac.dense_lu is not None:
+        return supernodal_lu_solve(fac.snlu, b, perm=fac.perm)
+    bp = b[jnp.asarray(fac.perm)] if fac.perm is not None else b
+    if fac.dense_lu is not None:
         from jax.scipy.linalg import lu_solve as _dense_solve
 
         xp = _dense_solve(fac.dense_lu, bp)

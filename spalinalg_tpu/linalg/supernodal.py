@@ -303,9 +303,11 @@ def _bwd_bucket(w, panel, colg, rowg, *, nsp):
     return w.at[colg].set(x1)
 
 
-def _solve_all(plan: SupernodalPlan, panels, b):
+def _solve_all(plan: SupernodalPlan, panels, b, perm=None, iperm=None):
     n = plan.n
     dtype = next(iter(panels.values())).dtype if panels else b.dtype
+    if perm is not None:
+        b = jnp.asarray(b)[perm]
     w = jnp.zeros(n + 1, dtype).at[:n].set(jnp.asarray(b, dtype))
     for l, buckets in enumerate(plan.levels):
         for bi, bk in enumerate(buckets):
@@ -317,18 +319,31 @@ def _solve_all(plan: SupernodalPlan, panels, b):
             w = _bwd_bucket(w, panels[(l, bi)],
                             jnp.asarray(bk.colg), jnp.asarray(bk.rowg),
                             nsp=bk.nsp)
-    return w[:n]
+    x = w[:n]
+    if iperm is not None:
+        x = x[iperm]
+    return x
 
 
-def supernodal_solve(fac: SupernodalFactor, b: jax.Array) -> jax.Array:
-    """Solve ``A x = b`` (in the plan's postordered coordinates).
+def supernodal_solve(fac: SupernodalFactor, b: jax.Array,
+                     perm=None) -> jax.Array:
+    """Solve ``A x = b`` (postordered coordinates, or original ones
+    when the factor's fill-reducing ``perm`` is passed).
 
-    Both triangular sweeps compile as ONE program per plan (cached),
-    with the factor panels as arguments — per-bucket dispatch cost
-    dominated the solve otherwise."""
+    Everything — permutation, both triangular sweeps, inverse
+    permutation — compiles as ONE program per plan (cached): on a
+    remote-attached device the eager ``b[perm]``/``x[iperm]`` steps
+    each paid a full ~40 ms dispatch (the r3 bench's 187 ms "solve"
+    was three dispatches around a 24 ms device program)."""
     plan = fac.plan
-    fn = getattr(plan, "_solve_jit", None)
+    key = "_solve_jit" if perm is None else "_solve_jit_p"
+    fn = getattr(plan, key, None)
     if fn is None:
         fn = jax.jit(partial(_solve_all, plan))
-        plan._solve_jit = fn
-    return fn(fac.panels, b)
+        setattr(plan, key, fn)
+    if perm is None:
+        return fn(fac.panels, b)
+    perm = np.asarray(perm)
+    iperm = np.empty(perm.size, dtype=np.int64)
+    iperm[perm] = np.arange(perm.size)
+    return fn(fac.panels, b, jnp.asarray(perm), jnp.asarray(iperm))

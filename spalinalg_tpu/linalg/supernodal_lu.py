@@ -429,9 +429,12 @@ def _lu_bwd_bucket(w, lu11, u12, colg, rowg, *, nsp):
     return w.at[colg].set(x1)
 
 
-def _lu_solve_all(plan: SupernodalLuPlan, lu11, perm11, l21, u12, b):
+def _lu_solve_all(plan: SupernodalLuPlan, lu11, perm11, l21, u12, b,
+                  perm=None, iperm=None):
     n = plan.n
     dtype = next(iter(lu11.values())).dtype if lu11 else b.dtype
+    if perm is not None:
+        b = jnp.asarray(b)[perm]
     w = jnp.zeros(n + 1, dtype).at[:n].set(jnp.asarray(b, dtype))
     for l, buckets in enumerate(plan.levels):
         for bi, bk in enumerate(buckets):
@@ -443,16 +446,27 @@ def _lu_solve_all(plan: SupernodalLuPlan, lu11, perm11, l21, u12, b):
             w = _lu_bwd_bucket(w, lu11[(l, bi)], u12[(l, bi)],
                                jnp.asarray(bk.colg), jnp.asarray(bk.rowg),
                                nsp=bk.nsp)
-    return w[:n]
+    x = w[:n]
+    if iperm is not None:
+        x = x[iperm]
+    return x
 
 
-def supernodal_lu_solve(fac: SupernodalLuFactor, b: jax.Array) -> jax.Array:
-    """Solve ``A x = b`` (in the plan's postordered coordinates).
-
-    Both triangular sweeps compile as ONE program per plan (cached)."""
+def supernodal_lu_solve(fac: SupernodalLuFactor, b: jax.Array,
+                       perm=None) -> jax.Array:
+    """Solve ``A x = b`` (postordered coordinates, or original ones
+    when the factorization's row/col ``perm`` is passed — fused into
+    the one cached program to avoid per-dispatch relay floors)."""
     plan = fac.plan
-    fn = getattr(plan, "_solve_jit", None)
+    key = "_solve_jit" if perm is None else "_solve_jit_p"
+    fn = getattr(plan, key, None)
     if fn is None:
         fn = jax.jit(partial(_lu_solve_all, plan))
-        plan._solve_jit = fn
-    return fn(fac.lu11, fac.perm11, fac.l21, fac.u12, b)
+        setattr(plan, key, fn)
+    if perm is None:
+        return fn(fac.lu11, fac.perm11, fac.l21, fac.u12, b)
+    perm = np.asarray(perm)
+    iperm = np.empty(perm.size, dtype=np.int64)
+    iperm[perm] = np.arange(perm.size)
+    return fn(fac.lu11, fac.perm11, fac.l21, fac.u12, b,
+              jnp.asarray(perm), jnp.asarray(iperm))
