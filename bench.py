@@ -708,10 +708,47 @@ def main() -> None:
         from spalinalg_tpu.ops.bsr_ops import _df_dispatch
 
         df_path = "pallas_df" if _df_dispatch(dfbsr, dfx) else "xla_f64"
+        if df_path == "pallas_df":
+            # thread the 335 MB hi/lo planes through jit ARGUMENTS —
+            # as loop-closure constants they blow the remote-compile
+            # payload (HTTP 413), the same trap as the SpGEMM tables
+            from spalinalg_tpu.ops.kernels.bsr_df import (_df_blocks,
+                                                          _df_call,
+                                                          split_df)
+
+            G = 8
+            npad = -(-nblocks // G) * G
+            BTh, BTl = _df_blocks(data64, npad)
+            rows_np = np.repeat(np.arange(nbr, dtype=np.int32),
+                                np.diff(np.asarray(indptr)))
+            rows_np = np.pad(rows_np, (0, npad - nblocks))
+            rob = jnp.asarray(rows_np, jnp.int32)
+            cpad = jnp.zeros(npad, jnp.int32).at[:nblocks].set(
+                jnp.asarray(np.asarray(indices), jnp.int32))
+
+            @partial(jax.jit, static_argnames=("k",))
+            def dfloop(Bh, Bl, x, k):
+                def it(i, xc):
+                    xh, xl = split_df(xc)
+                    yh, yl = _df_call(rob, cpad, Bh, Bl,
+                                      xh.reshape(-1, bs),
+                                      xl.reshape(-1, bs),
+                                      nbr=nbr, nblocks=nblocks, G=G)
+                    y = (yh.astype(jnp.float64)
+                         + yl.astype(jnp.float64)).reshape(-1)[:n]
+                    return (y / (jnp.max(jnp.abs(y)) + 1.0)
+                            ).astype(xc.dtype)
+                return jax.lax.fori_loop(0, k, it, x)
+
+            def df_loop_fn(x, k):
+                return dfloop(BTh, BTl, x, k=k)
+        else:
+            df_loop_fn = None
         per, diag = _measure_guarded(
             lambda v: dfbsr @ v, dfx,
             ks=(16, 80, 144) if on_tpu else (1, 2, 3), reps=reps,
-            max_rate=roof / nnz_df if on_tpu else None)
+            max_rate=roof / nnz_df if on_tpu else None,
+            loop_fn=df_loop_fn)
         secondary.update(_emit("bsr_f64df_spmv_nnz_per_s", nnz=nnz_df,
                                per=per, diag=diag, roof_rate=roof,
                                frac_key="bsr_f64df_roofline_frac",
