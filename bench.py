@@ -399,7 +399,12 @@ def bench_spgemm(on_tpu, secondary, hbm):
     n_terms = int(plan.a_idx.shape[0])
 
     av = a.values
-    # one un-looped call resolves the dispatch branch + builds plans
+    # split once-per-structure host plan building out of the warm
+    # number: "warm" is compile+execute of the first call (served from
+    # the persistent compilation cache on repeat runs)
+    t0 = time.perf_counter()
+    plan._tpu_numeric(int(av.shape[0]), int(av.shape[0]))
+    t_pair = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = sg.spgemm_apply(plan, av, av)
     jax.block_until_ready(out)
@@ -407,6 +412,7 @@ def bench_spgemm(on_tpu, secondary, hbm):
     path = sg._LAST_SPGEMM_PATH
     secondary["spgemm_path"] = path
     secondary["spgemm_symbolic_s"] = round(t_sym, 1)
+    secondary["spgemm_pair_plan_s"] = round(t_pair, 1)
     secondary["spgemm_warm_s"] = round(t_warm, 1)
 
     if path == "pair_route" and on_tpu:
@@ -457,7 +463,8 @@ def bench_spgemm(on_tpu, secondary, hbm):
     secondary["spgemm_powerlaw_terms_per_s"] = round(rate, 1)
     secondary["spgemm_roofline_frac"] = round(rate / roof, 4)
     print(f"[bench] spgemm_powerlaw path={path} terms={n_terms} "
-          f"sym {t_sym:.0f}s warm {t_warm:.0f}s, {per*1e3:.3f} ms -> "
+          f"sym {t_sym:.0f}s pair-plan {t_pair:.0f}s warm {t_warm:.0f}s, "
+          f"{per*1e3:.3f} ms -> "
           f"{rate/1e9:.3f} Gterms/s ({100*rate/roof:.1f}% of "
           f"{roof/1e9:.0f} Gterms/s roofline)", file=sys.stderr)
 
