@@ -185,15 +185,26 @@ def _route_plan(csr):
 
     def build():
         from .kernels.csr_route import build_route_plan
+        from ..utils.plandisk import load_or_build
         import numpy as np
 
         values = csr.values
         if isinstance(values, jax.core.Tracer):
             values = np.zeros(csr.colind.shape[0], np.float32)
+        ptr = np.asarray(csr._ptr)
+        col = np.asarray(csr.colind)
+        vnp = np.asarray(values)
         try:
-            plan = build_route_plan(
-                np.asarray(csr._ptr), np.asarray(csr.colind),
-                values, csr.nrows, csr.ncols)
+            # structure-hashed on-disk persistence: the host plan build
+            # costs seconds per structure and is identical across
+            # processes (values ride separately via bake/device_vals,
+            # but default_values are part of the stored plan -> keyed)
+            plan = load_or_build(
+                "route", (ptr, col, vnp),
+                (csr.nrows, csr.ncols),
+                lambda: build_route_plan(ptr, col, vnp, csr.nrows,
+                                         csr.ncols),
+                jax_fields=("FP",), recurse=("spill_plan",))
         except ValueError:  # ncols/table budget exceeded
             return None
         if plan.spill_frac > 0.25:

@@ -87,14 +87,22 @@ class SpgemmPlan:
         if key in cache:
             return cache[key]
         from .kernels.pair_route import build_pair_route_plan
+        from ..utils.plandisk import load_or_build
 
+        gid = np.asarray(self.gid, np.int64)
+        ai = np.asarray(self.a_idx, np.int64)
+        bi = np.asarray(self.b_idx, np.int64)
         try:
             with jax.ensure_compile_time_eval():
-                plan = build_pair_route_plan(
-                    np.asarray(self.gid, np.int64),
-                    np.asarray(self.a_idx, np.int64),
-                    np.asarray(self.b_idx, np.int64),
-                    max(self.n_out, 1), max(nnz_a, 1), max(nnz_b, 1))
+                # structure-hashed disk persistence: the pair-plan
+                # build costs ~10 s on the 2.8M-term bench case
+                plan = load_or_build(
+                    "pair", (gid, ai, bi),
+                    (self.n_out, nnz_a, nnz_b),
+                    lambda: build_pair_route_plan(
+                        gid, ai, bi, max(self.n_out, 1),
+                        max(nnz_a, 1), max(nnz_b, 1)),
+                    jax_fields=("FPA", "FPB", "has_a", "has_b"))
         except ValueError:  # table budget exceeded
             plan = None
         if plan is not None and plan.spill_frac > 0.10:
