@@ -492,12 +492,6 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     if T * S * H * _LANE * 16 > _MAX_TABLE_BYTES:
         raise ValueError("route plan tables would exceed memory budget")
 
-    t_r = dest_row // RPP
-    lr = dest_row % RPP
-    sdest = kk * R + lr // _LANE           # dest sublane in [0,512)
-    l_r = lr % _LANE                        # dest lane
-    d_r = sdest // _BLK                     # dest block
-    sdb = sdest % _BLK                      # dest row within block
     cl = colind % _SLICE_COLS
     # column-major window mapping: consecutive columns hit distinct
     # source rows, spreading coloring load for banded / small-ncols
@@ -506,13 +500,48 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     lc = cl // _LANE                        # source lane
 
     # --- stage coloring: one per (step, slice, dest block) ----------
-    # only routable entries enter the coloring (spill-bound overflow
-    # would waste slots and manufacture false conflicts)
-    page = t_r * S + sl
-    grp = (page * D + d_r) * _BLK + sdb
-    forb = (page * D + d_r) * _BLK + rr
+    # Only routable entries enter the coloring (spill-bound overflow
+    # would waste slots and manufacture false conflicts). Residual
+    # conflicts cost far more than their count suggests (each spilled
+    # entry pays XLA gather+scatter, x ncol for SpMM), so the whole
+    # coloring retries with the k-slot assignment of CONFLICTED
+    # (row, slice) groups rotated — a bijection on the group's slots,
+    # so within-group uniqueness is preserved while every failed
+    # request lands in a different dest row with fresh neighbours.
     ridx = np.flatnonzero(routable)
-    m_s, ok_s = _color_all(grp[ridx], forb[ridx], lc[ridx], rng)
+    best = None
+    kk_try = kk
+    for _round in range(3):
+        t_r = dest_row // RPP
+        lr = dest_row % RPP
+        sdest = kk_try * R + lr // _LANE    # dest sublane in [0, H)
+        l_r = lr % _LANE                    # dest lane
+        d_r = sdest // _BLK                 # dest block
+        sdb = sdest % _BLK                  # dest row within block
+        page = t_r * S + sl
+        grp = (page * D + d_r) * _BLK + sdb
+        forb = (page * D + d_r) * _BLK + rr
+        m_s, ok_s = _color_all(grp[ridx], forb[ridx], lc[ridx], rng)
+        nfail = int(ridx.size - ok_s.sum())
+        if best is None or nfail < best[0]:
+            best = (nfail, kk_try, m_s, ok_s)
+        if nfail == 0 or K == 1:
+            break
+        # rotate k-slots of groups containing a failure
+        bad_groups = np.zeros(nnz, bool)
+        bad_groups[ridx[~ok_s]] = True
+        grp_bad = np.zeros(nrows * S + S, bool)
+        np.logical_or.at(grp_bad, key[bad_groups], True)
+        rot = grp_bad[key] & routable
+        kk_try = np.where(rot, (kk_try + 1 + _round) % K, kk_try)
+    _nfail, kk, m_s, ok_s = best
+    t_r = dest_row // RPP
+    lr = dest_row % RPP
+    sdest = kk * R + lr // _LANE
+    l_r = lr % _LANE
+    d_r = sdest // _BLK
+    sdb = sdest % _BLK
+    page = t_r * S + sl
     m = np.zeros(nnz, np.int64)
     ok = np.zeros(nnz, bool)
     m[ridx] = m_s
@@ -534,7 +563,10 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     sp_src = entry_src[~g]
 
     spill_plan = None
-    if sp_rows.size >= 1024 and _depth < 4:
+    # route even small residues: 433 spilled entries cost ~0.6 ms on
+    # the XLA gather+scatter path for SpMM (x ncol), vs a fraction of
+    # one short page through a recursive plan
+    if sp_rows.size >= 256 and _depth < 4:
         # spill entries are in (row, col) order (masked row-major scan)
         sp_ptr = np.zeros(nrows + 1, np.int64)
         np.add.at(sp_ptr, sp_rows + 1, 1)
