@@ -27,7 +27,7 @@ import numpy as np
 
 __all__ = ["plan_cache_dir", "load_or_build"]
 
-_VERSION = 1  # bump when plan layouts change incompatibly
+_VERSION = 2  # bump when plan layouts or build algorithms change
 
 
 def plan_cache_dir():
