@@ -148,12 +148,23 @@ def _relay_contended():
 
 def _measure_guarded(body, x0, *, ks, reps=3, max_rate=None,
                      loop_fn=None):
-    """_measure + contention recheck. Returns (per, diag); diag gains
-    ``contended: true`` when the relay stayed degraded through the
-    retries (the number then understates the kernel)."""
+    """_measure bracketed by contention rechecks. The headline is
+    re-probed BEFORE each metric (a degraded relay delays the start)
+    and AFTER it (a clean pre-check with a degraded post-check means
+    contention arrived mid-measurement -> re-measure). A persistently
+    degraded relay ships the best attempt with ``contended: true``
+    instead of a silently understated number."""
+    import time as _time
+
     best = None
     diag = {}
     for attempt in range(3):
+        waits = 0
+        while _relay_contended() and waits < 4:
+            print("[bench] relay busy before metric; waiting",
+                  file=sys.stderr)
+            _time.sleep(15)
+            waits += 1
         per, diag = _measure(body, x0, ks=ks, reps=reps,
                              max_rate=max_rate, loop_fn=loop_fn)
         if per is not None and (best is None or per < best):
