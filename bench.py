@@ -205,6 +205,7 @@ def _emit(name, *, nnz=None, per=None, diag=None, roof_rate=None,
 
 
 def _make_bsr(nbr, dtype):
+    import jax
     import jax.numpy as jnp
 
     from spalinalg_tpu import BsrMatrix
@@ -212,7 +213,6 @@ def _make_bsr(nbr, dtype):
 
     bs = 128
     n = nbr * bs
-    rng = np.random.default_rng(0)
     indptr = [0]
     indices = []
     for i in range(nbr):
@@ -220,15 +220,21 @@ def _make_bsr(nbr, dtype):
         indices.extend(cols)
         indptr.append(len(indices))
     nblocks = len(indices)
-    data = rng.normal(size=(nblocks, bs, bs)).astype(np.float32)
+    # block values generated ON DEVICE: (a) bulk H2D through the relay
+    # is minutes-slow, (b) the working set must exceed the ~128 MiB
+    # VMEM or XLA's memory-space assignment can promote the (loop-
+    # invariant) blocks into VMEM and the loop slope reads VMEM rates,
+    # not HBM (r4 finding; an early r4 capture "healed" to 100.9 % of
+    # the HBM roofline this way)
+    data = jax.random.normal(jax.random.PRNGKey(0), (nblocks, bs, bs),
+                             jnp.float32)
     bsr = BsrMatrix._from_parts(
         n, n, bs, bs,
         jnp.asarray(np.asarray(indptr), dtype=INDEX_DTYPE),
-        jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE),
-        jnp.asarray(data))
+        jnp.asarray(np.asarray(indices), dtype=INDEX_DTYPE), data)
     if dtype == "bf16":
         bsr = bsr.astype(jnp.bfloat16)
-    x0 = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
     return bsr, x0, nblocks * bs * bs
 
 
@@ -547,7 +553,7 @@ def main() -> None:
     bsr_roof = hbm / 4.0  # minimal traffic: 4 B value / nnz
     bsr_rate = 0.0
     try:
-        bsr, x0, nnz_b = _make_bsr(512 if on_tpu else 8, "f32")
+        bsr, x0, nnz_b = _make_bsr(1024 if on_tpu else 8, "f32")
         path = _bsr_path(bsr, x0)
         per_b, diag_b = _measure(
             lambda v: bsr @ v, x0, ks=ks_big, reps=reps,
@@ -577,7 +583,7 @@ def main() -> None:
 
     # ---- bf16 BSR --------------------------------------------------
     try:
-        hb, hx, hnnz = _make_bsr(512 if on_tpu else 8, "bf16")
+        hb, hx, hnnz = _make_bsr(2048 if on_tpu else 8, "bf16")
         roof = hbm / 2.0
         # bf16 iterations are ~2x shorter than f32: longer loops keep
         # kernel time above the dispatch jitter
