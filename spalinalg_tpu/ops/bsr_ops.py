@@ -76,7 +76,9 @@ def _df_dispatch(bsr, x) -> bool:
 
     if not current_config().use_pallas:
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
+        # the double-float kernel is Mosaic-only: a gpu backend would
+        # dispatch it and fail at lowering (ADVICE r4 low)
         return False
     if isinstance(bsr.indptr, jax.core.Tracer) or isinstance(
             bsr.data, jax.core.Tracer):

@@ -84,8 +84,21 @@ def _kernel_df(row_ref, col_ref, bh_ref, bl_ref, xh_ref, xl_ref,
             BTl = bl_ref[i]
             ph, pe = _two_prod(BTh, xh)
             plo = pe + BTh * xl + BTl * xh      # drop lo*lo (~2^-48)
-            # sublane halving tree: exact DD adds on static slices
+            # sublane halving tree: exact DD adds on static slices.
+            # bc need not be a power of two (bc=384 is 3x128): first
+            # fold the remainder above the largest power of two into
+            # the head slots with an explicit TwoSum, THEN halve
+            # (ADVICE r4 high: the bare tree silently broadcast
+            # (1,br)+(2,br) at odd sizes and dropped a partial sum).
             size = bc
+            p2 = 1 << (size.bit_length() - 1)
+            if p2 != size:
+                rem = size - p2
+                s, e = _two_sum(ph[:rem], ph[p2:size])
+                plo = jnp.concatenate(
+                    [plo[:rem] + plo[p2:size] + e, plo[rem:p2]], axis=0)
+                ph = jnp.concatenate([s, ph[rem:p2]], axis=0)
+                size = p2
             while size > 1:
                 h = size // 2
                 s, e = _two_sum(ph[:h], ph[h:size])

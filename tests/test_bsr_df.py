@@ -106,6 +106,55 @@ def test_df_kernel_interpret_matches_oracle(rng):
     assert (np.abs(y - ref) / scale).max() < 1e-5
 
 
+def test_df_algorithm_non_power_of_two_tree(rng):
+    """bc=384 (3x128) runs the remainder-fold variant of the halving
+    tree (ADVICE r4 high: the bare tree silently broadcast at odd
+    sizes and dropped a partial sum). Exact-IEEE NumPy replay of the
+    kernel's math must still reach ~1e-13."""
+    for n in (384, 640, 896):
+        a64 = rng.normal(size=n) * np.exp(rng.normal(size=n) * 3)
+        x64 = rng.normal(size=n)
+        ah = a64.astype(np.float32)
+        al = (a64 - ah.astype(np.float64)).astype(np.float32)
+        xh = x64.astype(np.float32)
+        xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+        ph, pe = _np_two_prod(ah, xh)
+        plo = pe + ah * xl + al * xh
+        size = n
+        p2 = 1 << (size.bit_length() - 1)
+        if p2 != size:
+            rem = size - p2
+            s, e = _np_two_sum(ph[:rem], ph[p2:size])
+            plo = np.concatenate([plo[:rem] + plo[p2:size] + e,
+                                  plo[rem:p2]])
+            ph = np.concatenate([s, ph[rem:p2]])
+            size = p2
+        while size > 1:
+            h = size // 2
+            s, e = _np_two_sum(ph[:h], ph[h:size])
+            plo = plo[:h] + plo[h:size] + e
+            ph = s
+            size = h
+        y = np.float64(ph[0]) + np.float64(plo[0])
+        ref = a64 @ x64
+        scale = np.abs(a64 * x64).sum()
+        assert abs(y - ref) / scale < 1e-13, n
+
+
+def test_df_kernel_interpret_bc384(rng):
+    """Kernel plumbing for a non-power-of-two block width: every
+    partial sum must land (the pre-fix tree dropped one at size 3)."""
+    from spalinalg_tpu.ops.kernels.bsr_df import bsr_matvec_df
+
+    bs = 384
+    bsr, sp = _banded_bsr(3, bs, rng)
+    x = rng.normal(size=bsr.nrows)
+    y = np.asarray(bsr_matvec_df(bsr, jnp.asarray(x), interpret=True))
+    ref = sp @ x
+    scale = np.abs(sp).sum(axis=1).A.ravel() * np.abs(x).max() + 1e-300
+    assert (np.abs(y - ref) / scale).max() < 1e-5
+
+
 def test_df_split_is_exact(rng):
     from spalinalg_tpu.ops.kernels.bsr_df import split_df
 
