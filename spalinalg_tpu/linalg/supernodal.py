@@ -238,20 +238,68 @@ def _factor_bucket(F, *, B, nsp, mup):
     return panel, U
 
 
-def _factor_all(plan: SupernodalPlan, values: jax.Array):
-    """The whole numeric phase as one traced computation (all buckets)."""
+def _plan_index_arrays(plan: SupernodalPlan):
+    """Deterministic enumeration of every index table the numeric
+    phase reads (assembly scatters + extend-add flats, bucket order)."""
+    for buckets in plan.levels:
+        for bk in buckets:
+            yield bk.a_dst
+            yield bk.a_src
+            yield bk.pad_diag
+            for (_lb, src, dst) in bk.ext:
+                yield src
+                yield dst
+
+
+def _plan_tables(plan: SupernodalPlan):
+    """One flat device copy of ALL the plan's index tables, cached on
+    the plan.
+
+    Threaded through jit as an ARGUMENT rather than captured constants:
+    through the relay transport a constant-embedded program pays its
+    payload on every compile/load (measured ~2.7 s per 12 MB). A single
+    concatenated array keeps it to ONE H2D transfer (per-array uploads
+    pay the relay dispatch floor ~150x over). The kernel slices it back
+    with static offsets (free under XLA)."""
+    flat = getattr(plan, "_dev_tables", None)
+    if flat is None:
+        parts = [np.asarray(a, np.int64).ravel()
+                 for a in _plan_index_arrays(plan)]
+        flat = jnp.asarray(np.concatenate(parts) if parts
+                           else np.zeros(0, np.int64))
+        plan._dev_tables = flat
+    return flat
+
+
+def _factor_all(plan: SupernodalPlan, values: jax.Array, tables=None):
+    """The whole numeric phase as one traced computation (all buckets).
+
+    ``tables``, when given, is the flat concatenated index array (in
+    ``_plan_index_arrays`` order) entering the program as a jit
+    argument; otherwise the tables embed as constants (the sharded
+    factor path still uses constants — GSPMD partitions them)."""
+    if tables is not None:
+        offs = [0]
+        for a in _plan_index_arrays(plan):
+            offs.append(offs[-1] + a.size)
+        _pos = iter(range(len(offs) - 1))
+
+        def cv(a):
+            i = next(_pos)
+            return tables[offs[i]:offs[i + 1]]  # static slice
+    else:
+        cv = jnp.asarray
     panels: Dict[Tuple[int, int], jax.Array] = {}
     updates: Dict[Tuple[int, int], jax.Array] = {}
     for l, buckets in enumerate(plan.levels):
         for bi, bk in enumerate(buckets):
             B, nsp, mup = bk.sids.size, bk.nsp, bk.mup
             mp = nsp + mup
-            F = _assemble(values, jnp.asarray(bk.a_dst),
-                          jnp.asarray(bk.a_src), jnp.asarray(bk.pad_diag),
+            F = _assemble(values, cv(bk.a_dst),
+                          cv(bk.a_src), cv(bk.pad_diag),
                           size=B * mp * mp)
             for (lc, bc), src, dst in bk.ext:
-                F = _extend(F, updates[(lc, bc)], jnp.asarray(src),
-                            jnp.asarray(dst))
+                F = _extend(F, updates[(lc, bc)], cv(src), cv(dst))
             panel, U = _factor_bucket(F, B=B, nsp=nsp, mup=mup)
             panels[(l, bi)] = panel
             updates[(l, bi)] = U
@@ -270,9 +318,9 @@ def supernodal_factor(plan: SupernodalPlan, values: jax.Array
     values = jnp.asarray(values)
     fn = getattr(plan, "_factor_jit", None)
     if fn is None:
-        fn = jax.jit(partial(_factor_all, plan))
+        fn = jax.jit(lambda v, t: _factor_all(plan, v, tables=t))
         plan._factor_jit = fn
-    panels = fn(values)
+    panels = fn(values, _plan_tables(plan))
     return SupernodalFactor(plan=plan, panels=panels, dtype=values.dtype)
 
 

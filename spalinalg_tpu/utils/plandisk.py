@@ -91,10 +91,14 @@ def _structure_key(kind: str, arrays, scalars) -> str:
 # ---------------------------------------------------------------------
 
 def _plan_classes():
+    from ..linalg.supernodal import SupernodalPlan, _Bucket
+    from ..linalg.symbolic import SupernodalSymbolic
     from ..ops.kernels.csr_route import RoutePlan
     from ..ops.kernels.pair_route import PairRoutePlan
 
-    return {"RoutePlan": RoutePlan, "PairRoutePlan": PairRoutePlan}
+    return {"RoutePlan": RoutePlan, "PairRoutePlan": PairRoutePlan,
+            "SupernodalPlan": SupernodalPlan, "_Bucket": _Bucket,
+            "SupernodalSymbolic": SupernodalSymbolic}
 
 
 def _encode(key, v, arrays, meta):
