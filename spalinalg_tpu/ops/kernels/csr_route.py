@@ -93,6 +93,13 @@ class RoutePlan:
     spill_frac: float
     nnz: int
     spill_plan: "RoutePlan | None" = None  # recursive plan for spill
+    compact_src: np.ndarray = None  # row-compacted level: orig row per
+                                    # compact row (partials merge back
+                                    # through the top merge_plan)
+    nrows_full: int = 0             # original row-space size (== nrows
+                                    # unless this level is compacted)
+    merge_plan: "RoutePlan | None" = None  # top level only: routes the
+                                           # concatenated partials into y
     default_values: np.ndarray = None  # values passed at build time
     rows_np: np.ndarray = None   # (nnz,) entry row ids (top level only)
     cols_np: np.ndarray = None   # (nnz,) entry col ids (top level only)
@@ -111,7 +118,11 @@ class RoutePlan:
             return hit[1]
         v = np.zeros(self.T * self.S * self.H * _LANE, np.float32)
         v[self.val_slot] = np.asarray(values, np.float32)[self.val_src]
-        VALS = jnp.asarray(v.reshape(self.T * self.S, self.H, _LANE))
+        # committed constant, NOT trace-scoped: bake() may first run
+        # inside a caller's jit trace (e.g. the merge plan's ones) and
+        # the cached table must outlive that trace
+        with jax.ensure_compile_time_eval():
+            VALS = jnp.asarray(v.reshape(self.T * self.S, self.H, _LANE))
         if len(self._baked) >= 4:
             self._baked.pop(next(iter(self._baked)))
         self._baked[id(values)] = (values, VALS)
@@ -132,6 +143,20 @@ class RoutePlan:
     @property
     def table_bytes(self) -> int:
         return int(self.T) * int(self.S) * int(self.H) * _LANE * 8
+
+    @property
+    def xla_resid_frac(self) -> float:
+        """Fraction of the TOP-level nnz that falls through every
+        routed tier onto the XLA gather/scatter residual path — the
+        dispatch-quality metric (top-level ``spill_frac`` counts
+        recursively ROUTED entries too, r5)."""
+        resid = 0
+        p = self
+        while p is not None:
+            if p.spill_plan is None:
+                resid += p.spill[0].size
+            p = p.spill_plan
+        return float(resid / max(self.nnz, 1))
 
     # unpacked views (host/test convenience; the kernel unpacks in-register)
     @property
@@ -324,8 +349,12 @@ _TARGET_LOAD = 0.88     # coloring load ceiling (slack pages beyond)
 _VROW_COST = 0.006      # XLA scatter-add cost per virtual row, in
                         # units of one (512,128) table page
 _HEAVY_FACTOR = 4       # rows wider than _HEAVY_FACTOR*K use vrows
-_SPILL_ENTRY = 6e-5     # marginal recursive-spill cost per entry (pages)
-_SPILL_CALL = 6.0       # fixed cost of the extra spill pallas call
+_SPILL_CALL = 3.0       # fixed cost of the extra spill pallas call
+                        # (page units; launch + output add glue)
+_COMPACT_MAX = 16384    # spill levels with <= this many distinct rows
+                        # re-index rows densely (T_rows = 1 at K=4);
+                        # their partials merge back through ONE routed
+                        # merge call
 
 
 def _page_geometry(K: int, H: int, nrows_tot: int, nnz: int, S: int):
@@ -346,40 +375,86 @@ def _page_geometry(K: int, H: int, nrows_tot: int, nnz: int, S: int):
     return T, RPP
 
 
+def _tail_cost(gcounts: np.ndarray, S: int, nrows_bound: int,
+               depth: int) -> float:
+    """Estimated cost (in page units) of draining these per-(row,
+    slice) leftover counts through the recursive spill chain.
+
+    A flat per-entry constant (r4) mispriced the chain both ways —
+    spill levels are row-coverage-bound at low density and chain-depth
+    -bound at small K — so this recurses the actual geometry: each
+    candidate K pays its pages + call fixed cost + the cost of ITS
+    leftover, with row compaction below ``_COMPACT_MAX`` (r5)."""
+    total = int(gcounts.sum())
+    if total == 0:
+        return 0.0
+    if total < 256 or depth > 3:
+        return total * _VROW_COST      # XLA residual path
+    best = None
+    ngroups = int((gcounts > 0).sum())
+    nrows_eff = min(nrows_bound, ngroups)
+    for K, H in ((1, 512), (2, 512), (4, 512), (8, 512)):
+        R = H // K
+        T_rows = -(-nrows_eff // (R * _LANE))
+        over = np.maximum(gcounts - K, 0)
+        n_over = int(over.sum())
+        routed = total - n_over
+        T_load = -(-routed // max(1, int(_TARGET_LOAD * S * H * _LANE)))
+        T = max(1, T_rows, T_load)
+        c = (T * S * (H / 512.0) + _SPILL_CALL
+             + _tail_cost(over[over > 0], S, nrows_eff, depth + 1))
+        if best is None or c < best:
+            best = c
+    return best
+
+
 def _choose_K(maxcnt_per_row: np.ndarray, nrows: int, S: int,
               nnz: int, gcounts: np.ndarray, grows: np.ndarray,
-              depth: int) -> int:
+              depth: int, n_active: int | None = None) -> int:
     """Pick the ELL width minimising table pages + overflow cost.
 
     Overflow beyond K per (row, slice) has two exits (r4 redesign —
     the ELL load cap *is* the mean/max count ratio, so shrinking K
     below the max is the main lever on table pages):
 
-    - *heavy* rows (wider than ``_HEAVY_FACTOR*K`` per slice) absorb
-      overflow in virtual rows — one XLA scatter-add element per vrow;
+    - at depth 0, *heavy* rows (wider than ``_HEAVY_FACTOR*K`` per
+      slice) absorb overflow in virtual rows — one XLA scatter-add
+      element per vrow;
     - everything else spills to the *recursive routed plan*, whose
       marginal cost per entry is tiny but which pays one extra
       pallas-call dispatch.
+
+    Spill levels (depth >= 1) never use virtual rows (r5: the vrow
+    cost model poisoned K=1/K=2 choices, forcing narrow-R pages whose
+    row-coverage floor dominated the measured chain — three spill
+    calls cost 99 us of a 143 us SpMV). ``n_active`` is the number of
+    distinct rows when the level is row-compacted.
     """
     if maxcnt_per_row.size == 0 or maxcnt_per_row.max() == 0:
         return 1, 128
+    rows_eff = nrows if n_active is None else n_active
     best, bestK, bestH = None, 1, _HMAX
     for H in (128, 256, 512):
         K = 1
         while K <= H and H // K >= 8:  # R >= 8 (sublane alignment)
-            heavy = maxcnt_per_row > _HEAVY_FACTOR * K
-            nvr = int(((np.maximum(maxcnt_per_row[heavy], 1) - 1)
-                       // K).sum())
-            light_g = ~heavy[grows]
-            over = int(np.maximum(gcounts[light_g] - K, 0).sum())
+            if depth == 0:
+                heavy = maxcnt_per_row > _HEAVY_FACTOR * K
+                nvr = int(((np.maximum(maxcnt_per_row[heavy], 1) - 1)
+                           // K).sum())
+                light_g = ~heavy[grows]
+                leftover = np.maximum(gcounts[light_g] - K, 0)
+            else:
+                nvr = 0
+                leftover = np.maximum(gcounts - K, 0)
+            over = int(leftover.sum())
             if depth >= 3:
                 # last recursion level: no further spill plan — overflow
-                # must fit (vrows) or pay the slow XLA scatter per entry
+                # pays the slow XLA scatter per entry
                 cost_over = over * _VROW_COST
             else:
-                cost_over = (over * _SPILL_ENTRY + _SPILL_CALL
-                             if over >= 1024 else over * _VROW_COST)
-            T, _ = _page_geometry(K, H, nrows + nvr, nnz - over, S)
+                cost_over = _tail_cost(leftover[leftover > 0], S,
+                                       rows_eff, depth + 1)
+            T, _ = _page_geometry(K, H, rows_eff + nvr, nnz - over, S)
             # page cost scales with its height (DMA + vreg ops)
             cost = T * S * (H / 512.0) + nvr * _VROW_COST + cost_over
             if best is None or cost <= best:  # ties -> larger K
@@ -412,7 +487,8 @@ def _color_all(grp, forb, share, rng):
 
 def build_route_plan(rowptr, colind, values, nrows, ncols,
                      seed: int = 0, _depth: int = 0,
-                     _entry_src=None) -> "RoutePlan":
+                     _entry_src=None, _compact_ok: bool = True
+                     ) -> "RoutePlan":
     """Build the routing plan on host (NumPy). O(nnz) vectorised plus
     an exact repair pass on residual coloring conflicts. Spilled
     entries large enough to matter get their own (recursive) plan.
@@ -432,7 +508,22 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     rng = np.random.default_rng(seed)
 
     S = max(1, -(-ncols // _SLICE_COLS))
+    nrows_orig = nrows
     rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rowptr))
+    orig_rows = rows
+    compact_src = None
+    if _depth >= 1 and nnz and _compact_ok:
+        # row compaction (r5): a sparse spill level re-indexes its
+        # distinct rows densely so page count follows the ACTIVE row
+        # count, not nrows; the partial sums merge back into y through
+        # one routed merge call built at the top level.
+        uniq = np.unique(rows)
+        if uniq.size <= _COMPACT_MAX:
+            compact_src = uniq
+            remap = np.zeros(nrows, np.int64)
+            remap[uniq] = np.arange(uniq.size)
+            rows = remap[rows]
+            nrows = int(uniq.size)
     sl = colind // _SLICE_COLS
 
     # per-(row, slice) group rank: entries are sorted by (row, col)
@@ -454,7 +545,9 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         maxcnt_per_row = np.zeros(nrows, np.int64)
 
     K, H = _choose_K(maxcnt_per_row, nrows, S, nnz, gcounts, grows,
-                     _depth)
+                     _depth,
+                     n_active=(nrows if compact_src is None else
+                               int(compact_src.size)))
     R = H // K
     D = H // _BLK
 
@@ -464,17 +557,21 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     # y_virtual afterwards, one scatter-add element per vrow); light
     # overflow goes to the recursive spill plan instead — K can then
     # sit near the MEAN per-(row, slice) count rather than the max,
-    # which is the ELL slot-load lever (r4).
+    # which is the ELL slot-load lever (r4). Spill levels (depth >= 1)
+    # never use vrows (r5 — see _choose_K).
     q = kpos // K
     kk = kpos % K
-    heavy = maxcnt_per_row > _HEAVY_FACTOR * K
-    if nnz:
-        light_over = int(np.maximum(
-            gcounts[~heavy[grows]] - K, 0).sum())
-        if light_over < 1024:
-            # too little overflow to justify a recursive spill call:
-            # absorb it all in virtual rows (old r3 behaviour)
-            heavy = maxcnt_per_row > K
+    if _depth >= 1:
+        heavy = np.zeros(nrows, bool)
+    else:
+        heavy = maxcnt_per_row > _HEAVY_FACTOR * K
+        if nnz:
+            light_over = int(np.maximum(
+                gcounts[~heavy[grows]] - K, 0).sum())
+            if light_over < 1024:
+                # too little overflow to justify a recursive spill
+                # call: absorb it all in virtual rows (r3 behaviour)
+                heavy = maxcnt_per_row > K
     nvr_per_row = np.where(
         heavy,
         np.maximum((np.maximum(maxcnt_per_row, 1) - 1) // K, 0), 0)
@@ -558,7 +655,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     val_slot = (page[g] * H + sdest[g]) * _LANE + l_r[g]
     val_src = entry_src[g]
 
-    sp_rows = rows[~g]
+    sp_rows = orig_rows[~g]
     sp_cols = colind[~g]
     sp_src = entry_src[~g]
 
@@ -571,30 +668,66 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     # the two constants previously disagreed at _depth == 3)
     if sp_rows.size >= 256 and _depth < 3:
         # spill entries are in (row, col) order (masked row-major scan)
-        sp_ptr = np.zeros(nrows + 1, np.int64)
+        sp_ptr = np.zeros(nrows_orig + 1, np.int64)
         np.add.at(sp_ptr, sp_rows + 1, 1)
         np.cumsum(sp_ptr, out=sp_ptr)
-        spill_plan = build_route_plan(sp_ptr, sp_cols, values[~g], nrows,
-                                      ncols, seed=seed + 1,
+        spill_plan = build_route_plan(sp_ptr, sp_cols, values[~g],
+                                      nrows_orig, ncols, seed=seed + 1,
                                       _depth=_depth + 1,
                                       _entry_src=sp_src)
 
     FP = F1 | (F2 << 8) | (F3 << 16)
 
-    return RoutePlan(
+    plan = RoutePlan(
         nrows=nrows, ncols=ncols, K=K, R=R, T=T, S=S, RPP=RPP, H=H,
         FP=jnp.asarray(FP),
         val_slot=val_slot, val_src=val_src, vrow_src=vrow_src,
         spill=(sp_rows, sp_cols, sp_src),
         spill_frac=float(sp_rows.size / max(nnz, 1)), nnz=nnz,
         spill_plan=spill_plan,
+        compact_src=compact_src, nrows_full=nrows_orig,
         default_values=(None if _entry_src is not None
                         else values.astype(np.float32)),
         rows_np=(None if _entry_src is not None
-                 else rows.astype(np.int32)),
+                 else orig_rows.astype(np.int32)),
         cols_np=(None if _entry_src is not None
                  else colind.astype(np.int32)),
     )
+    if _depth == 0:
+        _attach_merge_plan(plan, nrows_orig, seed)
+    return plan
+
+
+def _attach_merge_plan(plan: "RoutePlan", nrows: int, seed: int) -> None:
+    """Build the routed merge-back plan over every row-compacted spill
+    level in the chain (r5).
+
+    Compacted levels emit partial sums in their dense row spaces; the
+    merge plan routes the CONCATENATED partial vector back into y as
+    one 0/1 SpMV (``y += M @ partials``) — the only alternative, an
+    XLA scatter-add, costs ~8 us + 9 ns/element, which at 10k+
+    partials is more than the whole spill chain."""
+    segs = []          # (orig_row_of_partial, chain order)
+    off = 0
+    p = plan.spill_plan
+    while p is not None:
+        if p.compact_src is not None:
+            segs.append(p.compact_src)
+        p = p.spill_plan
+    if not segs:
+        return
+    rows_m = np.concatenate(segs)
+    cols_m = np.arange(rows_m.size, dtype=np.int64)
+    order = np.lexsort((cols_m, rows_m))
+    rows_m, cols_m = rows_m[order], cols_m[order]
+    ptr_m = np.zeros(nrows + 1, np.int64)
+    np.add.at(ptr_m, rows_m + 1, 1)
+    np.cumsum(ptr_m, out=ptr_m)
+    merge = build_route_plan(ptr_m, cols_m,
+                             np.ones(rows_m.size, np.float32),
+                             nrows, int(rows_m.size), seed=seed + 17,
+                             _depth=3, _compact_ok=False)
+    object.__setattr__(plan, "merge_plan", merge)
 
 
 # ---------------------------------------------------------------------
@@ -900,7 +1033,11 @@ def _route_spmm_ad_bwd(plan, interpret, res, g):
 _route_spmm_ad.defvjp(_route_spmm_ad_fwd, _route_spmm_ad_bwd)
 
 
-def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
+def _route_spmm_impl(plan: RoutePlan, X, values, interpret,
+                     _parts=None):
+    top = _parts is None
+    if top:
+        _parts = []
     traced = isinstance(values, jax.core.Tracer)
     VALS = plan.device_vals(values) if traced else plan.bake(values)
     ncol = int(X.shape[1])
@@ -908,13 +1045,20 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
                           K_ell=plan.K, R=plan.R, H=plan.H, T=plan.T,
                           S=plan.S, RPP=plan.RPP, ncol=ncol,
                           interpret=interpret)
-    Y = Yr[: plan.nrows]
+    Yl = Yr[: plan.nrows]
     nvr = plan.vrow_src.size
     if nvr:
-        Y = Y.at[jnp.asarray(plan.vrow_src)].add(
+        Yl = Yl.at[jnp.asarray(plan.vrow_src)].add(
             Yr[plan.nrows: plan.nrows + nvr])
+    if plan.compact_src is None:
+        Y = Yl
+    else:
+        _parts.append(Yl)            # (ncomp, ncol) partial panel
+        Y = None
     if plan.spill_plan is not None:
-        Y = Y + _route_spmm_impl(plan.spill_plan, X, values, interpret)
+        sub = _route_spmm_impl(plan.spill_plan, X, values, interpret,
+                               _parts=_parts)
+        Y = sub if Y is None else (Y + sub if sub is not None else Y)
     elif plan.spill[0].size:
         sp_rows, sp_cols, sp_src = plan.spill
         if traced:
@@ -924,11 +1068,29 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret):
                 np.asarray(values, np.float32)[sp_src])
         contrib = sp_vals[:, None] * X.astype(jnp.float32)[
             jnp.asarray(sp_cols)]
+        if Y is None:
+            Y = jnp.zeros((plan.nrows_full, ncol), jnp.float32)
         Y = Y.at[jnp.asarray(sp_rows)].add(contrib)
+    if top and plan.merge_plan is not None and _parts:
+        P = jnp.concatenate(_parts, axis=0)
+        Y = Y + _route_spmm_impl(plan.merge_plan, P,
+                                 _merge_ones(plan.merge_plan),
+                                 interpret)
     return Y
 
 
-def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None):
+def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None,
+                     _parts=None):
+    """One route level; recursion over the spill chain.
+
+    Row-compacted levels (r5) append their dense partial vectors to
+    ``_parts`` instead of adding into y; the TOP level then routes the
+    concatenated partials back through ``plan.merge_plan`` in one
+    extra (tiny) pallas call — replacing the XLA scatter-adds that
+    made the r4 spill chain cost 99 us of a 143 us SpMV."""
+    top = _parts is None
+    if top:
+        _parts = []
     traced = isinstance(values, jax.core.Tracer)
     VALS = plan.device_vals(values) if traced else plan.bake(values)
     # one shared operand layout for the whole spill chain (same ncols)
@@ -936,14 +1098,20 @@ def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None):
     yr = _route_call(plan.FP, VALS, X,
                      K=plan.K, R=plan.R, H=plan.H, T=plan.T, S=plan.S,
                      RPP=plan.RPP, nrows=plan.nrows, interpret=interpret)
-    y = yr[: plan.nrows]
+    yl = yr[: plan.nrows]
     nvr = plan.vrow_src.size
     if nvr:
-        y = y.at[jnp.asarray(plan.vrow_src)].add(
+        yl = yl.at[jnp.asarray(plan.vrow_src)].add(
             yr[plan.nrows: plan.nrows + nvr])
+    if plan.compact_src is None:
+        y = yl                       # original row space
+    else:
+        _parts.append(yl)            # dense partials; top level merges
+        y = None
     if plan.spill_plan is not None:
-        y = y + _route_spmv_impl(plan.spill_plan, x, values, interpret,
-                                 _X=X)
+        sub = _route_spmv_impl(plan.spill_plan, x, values, interpret,
+                               _X=X, _parts=_parts)
+        y = sub if y is None else (y + sub if sub is not None else y)
     elif plan.spill[0].size:
         sp_rows, sp_cols, sp_src = plan.spill
         if traced:
@@ -952,5 +1120,22 @@ def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None):
             sp_vals = jnp.asarray(
                 np.asarray(values, np.float32)[sp_src])
         contrib = sp_vals * x.astype(jnp.float32)[jnp.asarray(sp_cols)]
+        if y is None:
+            y = jnp.zeros(plan.nrows_full, jnp.float32)
         y = y.at[jnp.asarray(sp_rows)].add(contrib)
+    if top and plan.merge_plan is not None and _parts:
+        p = jnp.concatenate(_parts)
+        y = y + _route_spmv_impl(plan.merge_plan, p,
+                                 _merge_ones(plan.merge_plan),
+                                 interpret)
     return y
+
+
+def _merge_ones(mp: RoutePlan) -> np.ndarray:
+    """Unit values for the merge plan, cached on the plan (its
+    ``default_values`` do not survive the value-stripping disk store)."""
+    v = getattr(mp, "_ones_vals", None)
+    if v is None:
+        v = np.ones(int(mp.nnz), np.float32)
+        object.__setattr__(mp, "_ones_vals", v)
+    return v

@@ -178,7 +178,15 @@ _route_spmv_df_ad.defvjp(_route_spmv_df_ad_fwd, _route_spmv_df_ad_bwd)
 
 
 def _route_spmv_df_impl(plan: RoutePlan, x, values, interpret,
-                        _X=None):
+                        _X=None, _parts=None):
+    """One DF route level; recursion over the spill chain.
+
+    Row-compacted levels append (hi, lo) partial PAIRS — the merge
+    runs through the DF kernel itself (VALS = exact ones) so the
+    double-float pairs recombine with TwoSums, not f32 adds."""
+    top = _parts is None
+    if top:
+        _parts = []
     # DF values must be concrete (host hi/lo split + bake); the
     # dispatcher gates on this
     Vh, Vl = _df_bake(plan, values)
@@ -186,17 +194,25 @@ def _route_spmv_df_impl(plan: RoutePlan, x, values, interpret,
     yh, yl = _route_call_df(plan.FP, Vh, Vl, Xh, Xl,
                             K=plan.K, R=plan.R, H=plan.H, T=plan.T,
                             S=plan.S, RPP=plan.RPP, interpret=interpret)
-    # recombine per level; level sums and the small scatter-adds run in
-    # (emulated) f64 — elementwise only, off the hot stream
-    y = (yh.astype(jnp.float64) + yl.astype(jnp.float64))[: plan.nrows]
-    nvr = plan.vrow_src.size
-    if nvr:
-        extra = (yh[plan.nrows: plan.nrows + nvr].astype(jnp.float64)
-                 + yl[plan.nrows: plan.nrows + nvr].astype(jnp.float64))
-        y = y.at[jnp.asarray(plan.vrow_src)].add(extra)
+    if plan.compact_src is not None:
+        _parts.append((yh[: plan.nrows], yl[: plan.nrows]))
+        y = None
+    else:
+        # recombine per level; level sums and the small scatter-adds
+        # run in (emulated) f64 — elementwise only, off the hot stream
+        y = (yh.astype(jnp.float64)
+             + yl.astype(jnp.float64))[: plan.nrows]
+        nvr = plan.vrow_src.size
+        if nvr:
+            extra = (yh[plan.nrows: plan.nrows + nvr].astype(jnp.float64)
+                     + yl[plan.nrows: plan.nrows + nvr
+                          ].astype(jnp.float64))
+            y = y.at[jnp.asarray(plan.vrow_src)].add(extra)
     if plan.spill_plan is not None:
-        y = y + _route_spmv_df_impl(plan.spill_plan, x, values,
-                                    interpret, _X=(Xh, Xl))
+        sub = _route_spmv_df_impl(plan.spill_plan, x, values,
+                                  interpret, _X=(Xh, Xl),
+                                  _parts=_parts)
+        y = sub if y is None else (y + sub if sub is not None else y)
     elif plan.spill[0].size:
         sp_rows, sp_cols, sp_src = plan.spill
         if isinstance(values, jax.core.Tracer):
@@ -204,5 +220,39 @@ def _route_spmv_df_impl(plan: RoutePlan, x, values, interpret,
         else:
             sp_vals = jnp.asarray(np.asarray(values, np.float64)[sp_src])
         contrib = sp_vals * x.astype(jnp.float64)[jnp.asarray(sp_cols)]
+        if y is None:
+            y = jnp.zeros(plan.nrows_full, jnp.float64)
         y = y.at[jnp.asarray(sp_rows)].add(contrib)
+    if top and plan.merge_plan is not None and _parts:
+        mp = plan.merge_plan
+        ph = jnp.concatenate([p[0] for p in _parts])
+        pl_ = jnp.concatenate([p[1] for p in _parts])
+        ones64 = getattr(mp, "_df_ones", None)
+        if ones64 is None:  # exact in DF: Vh=1, Vl=0
+            ones64 = np.ones(int(mp.nnz), np.float64)
+            object.__setattr__(mp, "_df_ones", ones64)
+        Vh1, Vl1 = _df_bake(mp, ones64)
+        Ph, Pl = _prep_parts_df(ph, pl_, S=mp.S)
+        mh, ml = _route_call_df(mp.FP, Vh1, Vl1, Ph, Pl,
+                                K=mp.K, R=mp.R, H=mp.H, T=mp.T,
+                                S=mp.S, RPP=mp.RPP,
+                                interpret=interpret)
+        y = y + (mh.astype(jnp.float64)
+                 + ml.astype(jnp.float64))[: mp.nrows]
+        if mp.spill[0].size:  # merge overflow (rows with many chains)
+            sp_rows, sp_cols, _ = mp.spill
+            y = y.at[jnp.asarray(sp_rows)].add(
+                ph[jnp.asarray(sp_cols)].astype(jnp.float64)
+                + pl_[jnp.asarray(sp_cols)].astype(jnp.float64))
     return y
+
+
+@partial(jax.jit, static_argnames=("S",))
+def _prep_parts_df(ph, pl_, *, S):
+    """Column-slice tiles of an (hi, lo) partial pair (already split)."""
+    def tile(v):
+        f = jnp.zeros((S * _SLICE_COLS,), jnp.float32).at[
+            : v.shape[0]].set(v)
+        return f.reshape(S, _LANE, _BLK).transpose(0, 2, 1).reshape(
+            S * _BLK, _LANE)
+    return tile(ph), tile(pl_)

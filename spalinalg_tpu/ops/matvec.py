@@ -227,12 +227,15 @@ def _route_plan(csr):
                 (csr.nrows, csr.ncols),
                 lambda: build_route_plan(ptr, col, vnp, csr.nrows,
                                          csr.ncols),
-                jax_fields=("FP",), recurse=("spill_plan",))
+                jax_fields=("FP",), recurse=("spill_plan", "merge_plan"))
             object.__setattr__(plan, "default_values", vnp)
         except ValueError:  # ncols/table budget exceeded
             return None
-        if plan.spill_frac > 0.25:
-            return None  # pathological structure; XLA path is safer
+        if plan.xla_resid_frac > 0.05:
+            # pathological structure: too much falls through every
+            # routed tier onto the XLA residual path (top-level
+            # spill_frac counts recursively ROUTED entries, r5)
+            return None
         return plan
 
     return _ROUTE_PLAN_CACHE.get(key, (csr._ptr, csr._minor), build)

@@ -86,7 +86,38 @@ class TestRoutePlan:
         # threshold (or a bounded fraction after depth exhaustion)
         assert (deepest.spill[0].size < 1024
                 or deepest.spill[0].size < 0.05 * plan.nnz)
-        assert plan.spill_frac < 0.02
+        # r5: the top-level spill_frac counts recursively ROUTED
+        # entries (overflow-to-spill economics) — the quality metric
+        # is what falls through to the XLA residual path
+        assert plan.xla_resid_frac < 0.02
+
+    def test_compacted_spill_with_routed_merge(self, rng):
+        """r5: spill levels with few distinct rows re-index rows
+        densely and merge their partials back through one routed
+        merge call (plan.merge_plan) — correctness over the whole
+        compact + merge machinery."""
+        n, m = 4096, 32768
+        row_nnz = 24
+        ind = np.sort(rng.integers(0, m, size=(n, row_nnz)), axis=1)
+        indptr = np.arange(n + 1, dtype=np.int64) * row_nnz
+        A = sps.csr_matrix(
+            (rng.normal(size=n * row_nnz), ind.reshape(-1), indptr),
+            shape=(n, m))
+        A.sum_duplicates()
+        A.sort_indices()
+        plan = _check(A, rng)
+        # the structure must actually exercise the machinery
+        chain_compacts = []
+        p = plan.spill_plan
+        while p is not None:
+            if p.compact_src is not None:
+                chain_compacts.append(p)
+            p = p.spill_plan
+        assert chain_compacts, "expected at least one compacted level"
+        assert plan.merge_plan is not None
+        total = sum(c.compact_src.size for c in chain_compacts)
+        assert plan.merge_plan.nnz == total
+        assert plan.xla_resid_frac < 0.02
 
     def test_hot_column_multicast(self, rng):
         A = sps.csr_matrix(
