@@ -926,15 +926,43 @@ def _route_spmm_kernel(x_ref, fp_ref, v_ref, o_ref, *, K_ell, R, D,
     fp = fp_ref[0]
     v = v_ref[0]
     # Column chunking batches the lane gathers: one (chunk*128, 128)
-    # take replaces `chunk` small (128,128) takes — per-step op count,
-    # not gathered elements, bounds this kernel (probe_r3: 768 takes
-    # per step at ncol=64 measured take-issue-bound).
+    # take replaces `chunk` small (128,128) takes — per-step take-issue
+    # count, not gathered elements, bounds this kernel (probe_r3: 768
+    # takes per step at ncol=64 measured take-issue-bound). The r4
+    # attempt at chunk == ncol lost to index-tile copies (3.2 ms vs
+    # 1.6); r5 builds the tiles ONCE PER PAGE (they are column
+    # -independent) and reuses them across every chunk, which moves
+    # the optimum to chunk ~8.
+    if chunk > 1:
+        f1 = fp & jnp.int32(0xFF)
+        f2 = (fp >> jnp.int32(8)) & jnp.int32(0xFF)
+        f3 = (fp >> jnp.int32(16)) & jnp.int32(0xFF)
+        tiles = []
+        for d in range(D):
+            b = slice(d * _BLK, (d + 1) * _BLK)
+            tiles.append(tuple(
+                jnp.concatenate([f[b]] * chunk, axis=0)
+                for f in (f1, f2, f3)))
     for c0 in range(0, ncol, chunk):
         X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
-        ps = []
-        for c in range(chunk):
-            ps.append(_blocked_takes(X3[c], fp, D) * v)  # (H, 128)
-        P = jnp.stack(ps, axis=0)                     # (CH, 512, 128)
+        if chunk == 1:
+            ps = [_blocked_takes(X3[0], fp, D) * v]   # (H, 128)
+            P = jnp.stack(ps, axis=0)                 # (1, H, 128)
+        else:
+            src = X3.reshape(chunk * _BLK, _LANE)
+            zs = []
+            for d in range(D):
+                f1t, f2t, f3t = tiles[d]
+                Hm = _take_lane(src, f1t)
+                Ht = jnp.swapaxes(Hm.reshape(chunk, _BLK, _LANE),
+                                  1, 2).reshape(chunk * _BLK, _LANE)
+                Sm = _take_lane(Ht, f2t)
+                St = jnp.swapaxes(Sm.reshape(chunk, _BLK, _LANE),
+                                  1, 2).reshape(chunk * _BLK, _LANE)
+                Z = _take_lane(St, f3t)
+                zs.append(Z.reshape(chunk, _BLK, _LANE)
+                          * v[d * _BLK:(d + 1) * _BLK][None])
+            P = jnp.concatenate(zs, axis=1)           # (CH, H, 128)
         acc = jnp.zeros((chunk, R, _LANE), jnp.float32)
         for k in range(K_ell):
             acc = acc + P[:, k * R:(k + 1) * R]
@@ -964,11 +992,20 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, H, T, S, RPP, ncol,
     stream = lambda: pl.BlockSpec(
         (1, H, _LANE), lambda t, s: (t * S + s, _z(), _z()),
         memory_space=pltpu.VMEM)
-    # chunk > 1 batches the lane gathers across RHS columns but must
-    # materialise the index tiles per chunk (Mosaic has no 3-D batched
-    # gather); measured on v5e the copies cost more than the saved
-    # take issues (3.2 ms vs 1.6 ms at ncol=64), so stay per-column.
+    # chunk > 1 batches the lane gathers across RHS columns; the index
+    # tiles are built once per page inside the kernel (Mosaic has no
+    # 3-D batched gather) and amortise over ncol/chunk chunks. chunk=8
+    # balances take-issue count against tile size (r5).
+    import os
+
     chunk = 1
+    # v5e sweep at ncol=64: chunk 8 -> 81 GF, 16 -> 85, 32 -> 112,
+    # 64 -> 93 (tile VMEM pressure); 32 is the optimum
+    pref = int(os.environ.get("SPALINALG_SPMM_CHUNK", "32"))
+    for c in (pref, 32, 16, 8, 4, 2):
+        if 1 < c <= ncol and ncol % c == 0:
+            chunk = c
+            break
     fn = pl.pallas_call(
         partial(_route_spmm_kernel, K_ell=K_ell, R=R, D=H // _BLK,
                 ncol=ncol, chunk=chunk),
