@@ -473,16 +473,16 @@ def bench_spgemm(on_tpu, secondary, hbm):
         # constants they are serialised into the remote-compile payload
         # (HTTP 413 at this size)
         @partial(jax.jit, static_argnames=("k",))
-        def sploop(FPA, FPB, x, k):
+        def sploop(FPP, x, k):
             def it(i, xc):
-                y = pair_route_apply(pr, xc, av, tables=(FPA, FPB))
+                y = pair_route_apply(pr, xc, av, tables=FPP)
                 return xc * (1.0 + jnp.sum(y) * 1e-12)
             return jax.lax.fori_loop(0, k, it, x)
 
         import jax.numpy as jnp
 
         def loop_fn(x, k):
-            return sploop(pr.FPA, pr.FPB, x, k=k)
+            return sploop(pr.FPP, x, k=k)
     else:
         @partial(jax.jit, static_argnames=("k",))
         def xlaloop(x, k):

@@ -98,6 +98,11 @@ class RoutePlan:
                                     # through the top merge_plan)
     nrows_full: int = 0             # original row-space size (== nrows
                                     # unless this level is compacted)
+    # active-page packing (r5): when set, FP/VALS hold only the active
+    # pages and these arrays drive the 1-D prefetch grid
+    pk_t: np.ndarray = None         # (P,) i32 dest step per page
+    pk_s: np.ndarray = None         # (P,) i32 source slice per page
+    pk_first: np.ndarray = None     # (P,) i32 1 on first page of step
     merge_plan: "RoutePlan | None" = None  # top level only: routes the
                                            # concatenated partials into y
     default_values: np.ndarray = None  # values passed at build time
@@ -116,13 +121,13 @@ class RoutePlan:
         hit = self._baked.get(id(values))
         if hit is not None and hit[0] is values:
             return hit[1]
-        v = np.zeros(self.T * self.S * self.H * _LANE, np.float32)
+        v = np.zeros(self.n_pages * self.H * _LANE, np.float32)
         v[self.val_slot] = np.asarray(values, np.float32)[self.val_src]
         # committed constant, NOT trace-scoped: bake() may first run
         # inside a caller's jit trace (e.g. the merge plan's ones) and
         # the cached table must outlive that trace
         with jax.ensure_compile_time_eval():
-            VALS = jnp.asarray(v.reshape(self.T * self.S, self.H, _LANE))
+            VALS = jnp.asarray(v.reshape(self.n_pages, self.H, _LANE))
         if len(self._baked) >= 4:
             self._baked.pop(next(iter(self._baked)))
         self._baked[id(values)] = (values, VALS)
@@ -132,17 +137,25 @@ class RoutePlan:
         """VALS table from (possibly traced) values — one device
         scatter whose transpose is a gather, so grads are cheap."""
         v = values.astype(jnp.float32)[jnp.asarray(self.val_src)]
-        flat = jnp.zeros(self.T * self.S * self.H * _LANE, jnp.float32)
+        flat = jnp.zeros(self.n_pages * self.H * _LANE, jnp.float32)
         flat = flat.at[jnp.asarray(self.val_slot)].set(v)
-        return flat.reshape(self.T * self.S, self.H, _LANE)
+        return flat.reshape(self.n_pages, self.H, _LANE)
 
     @property
     def rows_per_step(self) -> int:
         return self.R * _LANE
 
     @property
+    def n_pages(self) -> int:
+        return int(self.FP.shape[0])
+
+    @property
+    def packed(self) -> bool:
+        return self.pk_t is not None
+
+    @property
     def table_bytes(self) -> int:
-        return int(self.T) * int(self.S) * int(self.H) * _LANE * 8
+        return self.n_pages * int(self.H) * _LANE * 8
 
     @property
     def xla_resid_frac(self) -> float:
@@ -645,14 +658,42 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     ok[ridx] = ok_s
 
     # --- materialise tables -----------------------------------------
-    F1 = np.zeros((T * S, H, _LANE), np.int32)
-    F2 = np.zeros((T * S, H, _LANE), np.int32)
-    F3 = np.zeros((T * S, H, _LANE), np.int32)
     g = ok
-    F1[page[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g]
-    F2[page[g], d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
-    F3[page[g], d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
-    val_slot = (page[g] * H + sdest[g]) * _LANE + l_r[g]
+    # --- active-page packing (r5) -----------------------------------
+    # Structures whose entries touch few (t, s) pairs (merge plans,
+    # banded matrices, sparse spill levels) waste most of the dense
+    # (T, S) grid streaming empty pages — the SpGEMM tail merge ran
+    # 1079 dense pages where ~130 were active. When under 70 % of the
+    # grid is active, only active pages are stored; per-page dest-step
+    # / slice / first-of-step ids ride scalar-prefetch arrays.
+    pg_used = np.unique(page[g]) if g.any() else np.zeros(0, np.int64)
+    present_t = np.zeros(T, bool)
+    present_t[pg_used // S] = True
+    miss_t = np.flatnonzero(~present_t)
+    keep = np.sort(np.concatenate([pg_used, miss_t * S]))
+    packed = keep.size < 0.7 * T * S
+    if packed:
+        pmap = np.full(T * S, -1, np.int64)
+        pmap[keep] = np.arange(keep.size)
+        pg_of = pmap[page]
+        pk_t = (keep // S).astype(np.int32)
+        pk_s = (keep % S).astype(np.int32)
+        pk_first = np.concatenate(
+            [np.ones(1, np.int32),
+             (pk_t[1:] != pk_t[:-1]).astype(np.int32)])
+        n_pages = keep.size
+    else:
+        pg_of = page
+        pk_t = pk_s = pk_first = None
+        n_pages = T * S
+
+    F1 = np.zeros((n_pages, H, _LANE), np.int32)
+    F2 = np.zeros((n_pages, H, _LANE), np.int32)
+    F3 = np.zeros((n_pages, H, _LANE), np.int32)
+    F1[pg_of[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g]
+    F2[pg_of[g], d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
+    F3[pg_of[g], d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
+    val_slot = (pg_of[g] * H + sdest[g]) * _LANE + l_r[g]
     val_src = entry_src[g]
 
     sp_rows = orig_rows[~g]
@@ -686,6 +727,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         spill_frac=float(sp_rows.size / max(nnz, 1)), nnz=nnz,
         spill_plan=spill_plan,
         compact_src=compact_src, nrows_full=nrows_orig,
+        pk_t=pk_t, pk_s=pk_s, pk_first=pk_first,
         default_values=(None if _entry_src is not None
                         else values.astype(np.float32)),
         rows_np=(None if _entry_src is not None
@@ -746,12 +788,20 @@ def simulate_route(plan: RoutePlan, x: np.ndarray,
     if values is None:
         values = plan.default_values
     F1, F2, F3 = (np.asarray(a) for a in (plan.F1, plan.F2, plan.F3))
-    VALS = np.asarray(plan.bake(values)).reshape(T * S, H, _LANE)
+    VALS = np.asarray(plan.bake(values)).reshape(plan.n_pages, H, _LANE)
+    # page enumeration: dense (t, s) grid, or the packed active list
+    if plan.packed:
+        pages = [(int(plan.pk_t[p]), int(plan.pk_s[p]), p)
+                 for p in range(plan.n_pages)]
+    else:
+        pages = [(t, s, t * S + s) for t in range(T) for s in range(S)]
+    by_t = {}
+    for t, s, p in pages:
+        by_t.setdefault(t, []).append((s, p))
     y = np.zeros((T, R * _LANE), np.float32)
     for t in range(T):
         acc = np.zeros((R, _LANE), np.float32)
-        for s in range(S):
-            p = t * S + s
+        for s, p in by_t.get(t, []):
             P = np.zeros((H, _LANE), np.float32)
             for d in range(D):
                 b = slice(d * _BLK, (d + 1) * _BLK)
@@ -866,6 +916,70 @@ def _route_call(FP, VALS, X, *, K, R, H, T, S, RPP, nrows,
     )
     y = fn(X, FP, VALS)
     return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+
+
+def _route_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref, o_ref,
+                     *, K, R, D):
+    p = pl.program_id(0)
+    P = _blocked_takes(x_ref[...], fp_ref[0], D) * v_ref[0]
+    acc = jnp.zeros((R, _LANE), jnp.float32)
+    for k in range(K):
+        acc = acc + P[k * R:(k + 1) * R]
+
+    @pl.when(fi_ref[p] == jnp.int32(1))
+    def _():
+        o_ref[0] = acc
+
+    @pl.when(fi_ref[p] != jnp.int32(1))
+    def _():
+        o_ref[0] = o_ref[0] + acc
+
+
+@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
+                                   "interpret"))
+def _route_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K, R, H, T, S,
+                   RPP, interpret=False):
+    """Active-page packed variant of ``_route_call``: 1-D grid over
+    the stored pages; dest step / source slice ride scalar-prefetch
+    arrays (r5 — merge plans and banded structures activate few of the
+    dense (T, S) grid's pages)."""
+    _z = lambda: jnp.int32(0)
+    n_pages = int(FP.shape[0])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pages,),
+        in_specs=[
+            pl.BlockSpec((_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, _LANE), lambda p, sl, tt, fi: (tt[p], _z(), _z()),
+            memory_space=pltpu.VMEM),
+    )
+    fn = pl.pallas_call(
+        partial(_route_kernel_pk, K=K, R=R, D=H // _BLK),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
+    )
+    y = fn(pk_s, pk_t, pk_first, X, FP, VALS)
+    return y.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+
+
+def _pk_arrays(plan: RoutePlan):
+    arrs = getattr(plan, "_pk_dev", None)
+    if arrs is None:
+        with jax.ensure_compile_time_eval():
+            arrs = tuple(jnp.asarray(np.asarray(a, np.int32))
+                         for a in (plan.pk_s, plan.pk_t, plan.pk_first))
+        object.__setattr__(plan, "_pk_dev", arrs)
+    return arrs
 
 
 def route_spmv(plan: RoutePlan, x, values=None, *,
@@ -1030,6 +1144,104 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, H, T, S, RPP, ncol,
     return Y[:, :RPP].reshape(T * RPP, ncol)
 
 
+def _route_spmm_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref,
+                          o_ref, *, K_ell, R, D, ncol, chunk):
+    p = pl.program_id(0)
+    fp = fp_ref[0]
+    v = v_ref[0]
+    if chunk > 1:
+        f1 = fp & jnp.int32(0xFF)
+        f2 = (fp >> jnp.int32(8)) & jnp.int32(0xFF)
+        f3 = (fp >> jnp.int32(16)) & jnp.int32(0xFF)
+        tiles = []
+        for d in range(D):
+            b = slice(d * _BLK, (d + 1) * _BLK)
+            tiles.append(tuple(
+                jnp.concatenate([f[b]] * chunk, axis=0)
+                for f in (f1, f2, f3)))
+    for c0 in range(0, ncol, chunk):
+        X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
+        if chunk == 1:
+            P = jnp.stack([_blocked_takes(X3[0], fp, D) * v], axis=0)
+        else:
+            src = X3.reshape(chunk * _BLK, _LANE)
+            zs = []
+            for d in range(D):
+                f1t, f2t, f3t = tiles[d]
+                Hm = _take_lane(src, f1t)
+                Ht = jnp.swapaxes(Hm.reshape(chunk, _BLK, _LANE),
+                                  1, 2).reshape(chunk * _BLK, _LANE)
+                Sm = _take_lane(Ht, f2t)
+                St = jnp.swapaxes(Sm.reshape(chunk, _BLK, _LANE),
+                                  1, 2).reshape(chunk * _BLK, _LANE)
+                Z = _take_lane(St, f3t)
+                zs.append(Z.reshape(chunk, _BLK, _LANE)
+                          * v[d * _BLK:(d + 1) * _BLK][None])
+            P = jnp.concatenate(zs, axis=1)           # (CH, H, 128)
+        acc = jnp.zeros((chunk, R, _LANE), jnp.float32)
+        for k in range(K_ell):
+            acc = acc + P[:, k * R:(k + 1) * R]
+
+        @pl.when(fi_ref[p] == jnp.int32(1))
+        def _():
+            o_ref[0, c0:c0 + chunk] = acc
+
+        @pl.when(fi_ref[p] != jnp.int32(1))
+        def _():
+            o_ref[0, c0:c0 + chunk] = o_ref[0, c0:c0 + chunk] + acc
+
+
+@partial(jax.jit, static_argnames=("K_ell", "R", "H", "T", "S", "RPP",
+                                   "ncol", "interpret"))
+def _route_spmm_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K_ell, R,
+                        H, T, S, RPP, ncol, interpret=False):
+    """Active-page packed SpMM call (see ``_route_call_pk``)."""
+    X = X.astype(jnp.float32)
+    Xp = jnp.zeros((S * _SLICE_COLS, ncol), jnp.float32)
+    Xp = Xp.at[: X.shape[0]].set(X)
+    Xp = Xp.reshape(S, _LANE, _BLK, ncol).transpose(0, 3, 2, 1)
+
+    _z = lambda: jnp.int32(0)
+    import os
+
+    chunk = 1
+    pref = int(os.environ.get("SPALINALG_SPMM_CHUNK", "32"))
+    for c in (pref, 32, 16, 8, 4, 2):
+        if 1 < c <= ncol and ncol % c == 0:
+            chunk = c
+            break
+    n_pages = int(FP.shape[0])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pages,),
+        in_specs=[
+            pl.BlockSpec((1, ncol, _BLK, _LANE),
+                         lambda p, sl, *_: (sl[p], _z(), _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ncol, R, _LANE),
+            lambda p, sl, tt, fi: (tt[p], _z(), _z(), _z()),
+            memory_space=pltpu.VMEM),
+    )
+    fn = pl.pallas_call(
+        partial(_route_spmm_kernel_pk, K_ell=K_ell, R=R, D=H // _BLK,
+                ncol=ncol, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, ncol, R, _LANE), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
+    )
+    Y = fn(pk_s, pk_t, pk_first, Xp, FP, VALS)
+    Y = Y.transpose(0, 2, 3, 1).reshape(T, R * _LANE, ncol)
+    return Y[:, :RPP].reshape(T * RPP, ncol)
+
+
 def route_spmm(plan: RoutePlan, X, values=None, *,
                interpret: bool = False):
     """``Y = A @ X`` (dense tall-skinny X) through the routing plan.
@@ -1078,10 +1290,17 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret,
     traced = isinstance(values, jax.core.Tracer)
     VALS = plan.device_vals(values) if traced else plan.bake(values)
     ncol = int(X.shape[1])
-    Yr = _route_spmm_call(plan.FP, VALS, X,
-                          K_ell=plan.K, R=plan.R, H=plan.H, T=plan.T,
-                          S=plan.S, RPP=plan.RPP, ncol=ncol,
-                          interpret=interpret)
+    if plan.packed:
+        pk_s, pk_t, pk_first = _pk_arrays(plan)
+        Yr = _route_spmm_call_pk(plan.FP, VALS, X, pk_s, pk_t, pk_first,
+                                 K_ell=plan.K, R=plan.R, H=plan.H,
+                                 T=plan.T, S=plan.S, RPP=plan.RPP,
+                                 ncol=ncol, interpret=interpret)
+    else:
+        Yr = _route_spmm_call(plan.FP, VALS, X,
+                              K_ell=plan.K, R=plan.R, H=plan.H,
+                              T=plan.T, S=plan.S, RPP=plan.RPP,
+                              ncol=ncol, interpret=interpret)
     Yl = Yr[: plan.nrows]
     nvr = plan.vrow_src.size
     if nvr:
@@ -1117,14 +1336,18 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret,
 
 
 def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None,
-                     _parts=None):
+                     _parts=None, _FP=None):
     """One route level; recursion over the spill chain.
 
     Row-compacted levels (r5) append their dense partial vectors to
     ``_parts`` instead of adding into y; the TOP level then routes the
     concatenated partials back through ``plan.merge_plan`` in one
     extra (tiny) pallas call — replacing the XLA scatter-adds that
-    made the r4 spill chain cost 99 us of a 143 us SpMV."""
+    made the r4 spill chain cost 99 us of a 143 us SpMV.
+
+    ``_FP`` overrides the top level's table (callers inside an
+    enclosing jit thread large tables through that jit's arguments —
+    as closure constants they blow the remote-compile payload)."""
     top = _parts is None
     if top:
         _parts = []
@@ -1132,9 +1355,17 @@ def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None,
     VALS = plan.device_vals(values) if traced else plan.bake(values)
     # one shared operand layout for the whole spill chain (same ncols)
     X = _prep_x(x, S=plan.S) if _X is None else _X
-    yr = _route_call(plan.FP, VALS, X,
-                     K=plan.K, R=plan.R, H=plan.H, T=plan.T, S=plan.S,
-                     RPP=plan.RPP, nrows=plan.nrows, interpret=interpret)
+    FPx = plan.FP if _FP is None else _FP
+    if plan.packed:
+        pk_s, pk_t, pk_first = _pk_arrays(plan)
+        yr = _route_call_pk(FPx, VALS, X, pk_s, pk_t, pk_first,
+                            K=plan.K, R=plan.R, H=plan.H, T=plan.T,
+                            S=plan.S, RPP=plan.RPP, interpret=interpret)
+    else:
+        yr = _route_call(FPx, VALS, X,
+                         K=plan.K, R=plan.R, H=plan.H, T=plan.T,
+                         S=plan.S, RPP=plan.RPP, nrows=plan.nrows,
+                         interpret=interpret)
     yl = yr[: plan.nrows]
     nvr = plan.vrow_src.size
     if nvr:

@@ -113,6 +113,85 @@ def _route_call_df(FP, Vh, Vl, Xh, Xl, *, K, R, H, T, S, RPP,
     return yh, yl
 
 
+def _route_kernel_df_pk(s_ref, t_ref, fi_ref, xh_ref, xl_ref, fp_ref,
+                        vh_ref, vl_ref, oh_ref, ol_ref, *, K, R, D):
+    p = pl.program_id(0)
+    fp = fp_ref[0]
+    Zh = _blocked_takes(xh_ref[...], fp, D)
+    Zl = _blocked_takes(xl_ref[...], fp, D)
+    ph, pe = _two_prod(Zh, vh_ref[0])
+    plo = pe + Zh * vl_ref[0] + Zl * vh_ref[0]
+    acc_h = ph[0:R]
+    acc_l = plo[0:R]
+    for k in range(1, K):
+        s2, e = _two_sum(acc_h, ph[k * R:(k + 1) * R])
+        acc_l = acc_l + plo[k * R:(k + 1) * R] + e
+        acc_h = s2
+
+    @pl.when(fi_ref[p] == jnp.int32(1))
+    def _():
+        oh_ref[0] = acc_h
+        ol_ref[0] = acc_l
+
+    @pl.when(fi_ref[p] != jnp.int32(1))
+    def _():
+        s2, e = _two_sum(oh_ref[0], acc_h)
+        ol_ref[0] = ol_ref[0] + acc_l + e
+        oh_ref[0] = s2
+
+
+@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
+                                   "interpret"))
+def _route_call_df_pk(FP, Vh, Vl, Xh, Xl, pk_s, pk_t, pk_first, *, K,
+                      R, H, T, S, RPP, interpret=False):
+    """Active-page packed DF call (see csr_route._route_call_pk)."""
+    _z = lambda: jnp.int32(0)
+    n_pages = int(FP.shape[0])
+    xspec = lambda: pl.BlockSpec(
+        (_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
+        memory_space=pltpu.VMEM)
+    stream = lambda: pl.BlockSpec(
+        (1, H, _LANE), lambda p, *_: (p, _z(), _z()),
+        memory_space=pltpu.VMEM)
+    ospec = lambda: pl.BlockSpec(
+        (1, R, _LANE), lambda p, sl, tt, fi: (tt[p], _z(), _z()),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pages,),
+        in_specs=[xspec(), xspec(), stream(), stream(), stream()],
+        out_specs=(ospec(), ospec()),
+    )
+    fn = pl.pallas_call(
+        partial(_route_kernel_df_pk, K=K, R=R, D=H // _BLK),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32)),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
+    )
+    yh, yl = fn(pk_s, pk_t, pk_first, Xh, Xl, FP, Vh, Vl)
+    yh = yh.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+    yl = yl.reshape(T, R * _LANE)[:, :RPP].reshape(-1)
+    return yh, yl
+
+
+def _df_route_call(plan, Vh, Vl, Xh, Xl, interpret):
+    """Dense-grid or packed DF call, per the plan's layout."""
+    if plan.packed:
+        from .csr_route import _pk_arrays
+
+        pk_s, pk_t, pk_first = _pk_arrays(plan)
+        return _route_call_df_pk(plan.FP, Vh, Vl, Xh, Xl, pk_s, pk_t,
+                                 pk_first, K=plan.K, R=plan.R,
+                                 H=plan.H, T=plan.T, S=plan.S,
+                                 RPP=plan.RPP, interpret=interpret)
+    return _route_call_df(plan.FP, Vh, Vl, Xh, Xl, K=plan.K, R=plan.R,
+                          H=plan.H, T=plan.T, S=plan.S, RPP=plan.RPP,
+                          interpret=interpret)
+
+
 def _df_bake(plan: RoutePlan, values):
     """Two VALS planes (hi, lo) in dest-ELL order.
 
@@ -191,9 +270,7 @@ def _route_spmv_df_impl(plan: RoutePlan, x, values, interpret,
     # dispatcher gates on this
     Vh, Vl = _df_bake(plan, values)
     Xh, Xl = _prep_x_df(x, S=plan.S) if _X is None else _X
-    yh, yl = _route_call_df(plan.FP, Vh, Vl, Xh, Xl,
-                            K=plan.K, R=plan.R, H=plan.H, T=plan.T,
-                            S=plan.S, RPP=plan.RPP, interpret=interpret)
+    yh, yl = _df_route_call(plan, Vh, Vl, Xh, Xl, interpret)
     if plan.compact_src is not None:
         _parts.append((yh[: plan.nrows], yl[: plan.nrows]))
         y = None
@@ -233,10 +310,7 @@ def _route_spmv_df_impl(plan: RoutePlan, x, values, interpret,
             object.__setattr__(mp, "_df_ones", ones64)
         Vh1, Vl1 = _df_bake(mp, ones64)
         Ph, Pl = _prep_parts_df(ph, pl_, S=mp.S)
-        mh, ml = _route_call_df(mp.FP, Vh1, Vl1, Ph, Pl,
-                                K=mp.K, R=mp.R, H=mp.H, T=mp.T,
-                                S=mp.S, RPP=mp.RPP,
-                                interpret=interpret)
+        mh, ml = _df_route_call(mp, Vh1, Vl1, Ph, Pl, interpret)
         y = y + (mh.astype(jnp.float64)
                  + ml.astype(jnp.float64))[: mp.nrows]
         if mp.spill[0].size:  # merge overflow (rows with many chains)

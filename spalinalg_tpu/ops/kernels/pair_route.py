@@ -75,7 +75,14 @@ _MAX_PAIR_TABLE_BYTES = 1 << 30  # FPA+FPB combined budget
 
 @dataclass(eq=False)  # identity hash: plans are jit-static
 class PairRoutePlan:
-    """Host-built paired routing tables for one SpGEMM term structure."""
+    """Host-built paired routing tables for one SpGEMM term structure.
+
+    r5 layout: only ACTIVE (dest step, slice, route) pages are stored,
+    packed into one table streamed by a 1-D grid whose per-page slice/
+    route/output-step ids ride scalar-prefetch arrays. The r4 dense
+    (T, S)-grid streamed both route tables for every page — 518 MB and
+    1976 grid steps on the bench case where only 1113 route-pages had
+    any entries (slot load 4.3 %)."""
 
     n_out: int              # output slots (C nnz)
     nnz_a: int
@@ -86,20 +93,29 @@ class PairRoutePlan:
     T: int
     S: int                  # max source slices across the two routes
     RPP: int
-    FPA: jax.Array          # (T*S, 512, 128) i32
-    FPB: jax.Array          # (T*S, 512, 128) i32
-    has_a: jax.Array        # (T*S,) i32 — 1 iff the page routes any
-    has_b: jax.Array        #   entry for that route (kernel skip flags)
+    FPP: jax.Array          # (P, 512, 128) i32 packed active pages
+    page_slice: np.ndarray  # (P,) i32 source slice per page
+    page_route: np.ndarray  # (P,) i32 0 = route a, 1 = route b
+    page_t: np.ndarray      # (P,) i32 dest step per page (ascending)
+    page_first: np.ndarray  # (P,) i32 1 on the first page of its t
+    page_last: np.ndarray   # (P,) i32 1 on the last page of its t
     vrow_src: np.ndarray    # (n_virtual,) real output slot per virtual row
     # coloring-retry regions: terms recolored in fresh tail pages;
     # each entry adds yr[start:start+len] into y at `gids`
     retry: list
     spill: Tuple[np.ndarray, np.ndarray, np.ndarray]  # gid, a_idx, b_idx
     spill_frac: float
+    tail_merge: object = None  # csr_route.RoutePlan folding the vrow +
+                               # retry tail into y (one routed 0/1 SpMV
+                               # instead of a ~200k XLA scatter, r5)
+
+    @property
+    def n_pages(self) -> int:
+        return int(self.FPP.shape[0])
 
     @property
     def table_bytes(self) -> int:
-        return int(self.T) * int(self.S) * _H * _LANE * 8
+        return self.n_pages * _H * _LANE * 4
 
 
 def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
@@ -151,8 +167,10 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     cap = R * _LANE
     RPP = min(RPP, max(_LANE, int(cap * 0.88) // _LANE * _LANE))
     T = max(1, -(-nrows_tot // RPP))
-    if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
-        raise ValueError("pair route tables would exceed memory budget")
+    # the stored table covers only ACTIVE pages (checked after packing);
+    # this guards the transient host-side page-id space
+    if T * S > (1 << 22):
+        raise ValueError("pair route page space would exceed budget")
 
     def slot_geom(rows, kk_s):
         """Dest-slot coordinates for given dest rows.
@@ -213,35 +231,92 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
 
     rows_used = (retry[-1][0] + retry[-1][1].size) if retry else nrows_tot
     T = max(T, -(-rows_used // RPP))
-    if T * S * _H * _LANE * 8 > _MAX_PAIR_TABLE_BYTES:
-        raise ValueError("pair route tables would exceed memory budget")
 
-    def tables(route_sel):
-        F = np.zeros((T * S, _H, _LANE), np.int32)
-        has = np.zeros(T * S, np.int32)
+    # --- pack ACTIVE (t, route, slice) pages (r5) --------------------
+    # Active-page discovery from the placed records (vectorised).
+    def active(route_sel):
+        ps = np.zeros(T * S, bool)
+        for rec in placed:
+            t_r = rec[1]
+            sl = rec[4][0] if route_sel == 0 else rec[5][0]
+            ps[t_r * S + sl] = True
+        return ps
+
+    act_a, act_b = active(0), active(1)
+    ia = np.flatnonzero(act_a)
+    ib = np.flatnonzero(act_b)
+    allp = np.concatenate([
+        np.stack([ia // S, np.zeros_like(ia), ia % S], 1),
+        np.stack([ib // S, np.ones_like(ib), ib % S], 1)])
+    # every dest step needs >= 1 page so its output block is written
+    present = np.zeros(T, bool)
+    if allp.size:
+        present[allp[:, 0]] = True
+    miss = np.flatnonzero(~present)
+    if miss.size:
+        z = np.zeros_like(miss)
+        allp = np.concatenate([allp, np.stack([miss, z, z], 1)])
+    order = np.lexsort((allp[:, 2], allp[:, 1], allp[:, 0]))
+    allp = allp[order]
+    P_pages = allp.shape[0]
+    if P_pages * _H * _LANE * 4 > _MAX_PAIR_TABLE_BYTES:
+        raise ValueError("pair route tables would exceed memory budget")
+    FPP = np.zeros((P_pages, _H, _LANE), np.int32)
+    pmap = np.full((2, T * S), -1, np.int64)
+    pmap[allp[:, 1], allp[:, 0] * S + allp[:, 2]] = np.arange(P_pages)
+
+    def fill(route_sel):
         for rec in placed:
             _idx, t_r, sdest, l_r = rec[0], rec[1], rec[2], rec[3]
             sl, rr, lc, m = rec[4] if route_sel == 0 else rec[5]
             d_r = sdest // _BLK
             sdb = sdest % _BLK
-            page = t_r * S + sl
-            F[page, d_r * _BLK + rr, m] |= lc
-            F[page, d_r * _BLK + m, sdb] |= rr << 8
-            F[page, d_r * _BLK + sdb, l_r] |= (m << 16) | (1 << 24)
-            has[page] = 1
-        return F, has
+            page = pmap[route_sel, t_r * S + sl]
+            FPP[page, d_r * _BLK + rr, m] |= lc
+            FPP[page, d_r * _BLK + m, sdb] |= rr << 8
+            FPP[page, d_r * _BLK + sdb, l_r] |= (m << 16) | (1 << 24)
 
-    FPA, has_a = tables(0)
-    FPB, has_b = tables(1)
+    fill(0)
+    fill(1)
+    page_t = allp[:, 0].astype(np.int32)
+    bnd = (page_t[1:] != page_t[:-1]).astype(np.int32)
+    one = np.ones(1, np.int32)
+    page_first = np.concatenate([one, bnd])
+    page_last = np.concatenate([bnd, one])
+
+    # Routed tail merge (r5): the vrow + retry partials previously
+    # folded into y with one XLA scatter-add — ~1.8 ms at the bench
+    # tail of ~200k elements (8 us/op + 9 ns/element). As a 0/1 routed
+    # SpMV over the concatenated tail vector it rides the same
+    # lane-route network at ~0.7 us/page.
+    tail_dst_parts = [vrow_src] + [g for _s, g in retry]
+    tail_merge = None
+    tail_n = int(sum(p.size for p in tail_dst_parts))
+    if tail_n >= 4096:
+        from .csr_route import build_route_plan
+
+        dst = np.concatenate(tail_dst_parts)
+        pos = np.arange(tail_n, dtype=np.int64)
+        order = np.lexsort((pos, dst))
+        dst_s, pos_s = dst[order], pos[order]
+        ptr_m = np.zeros(n_out + 1, np.int64)
+        np.add.at(ptr_m, dst_s + 1, 1)
+        np.cumsum(ptr_m, out=ptr_m)
+        tail_merge = build_route_plan(
+            ptr_m, pos_s, np.ones(tail_n, np.float32), n_out, tail_n,
+            seed=seed + 23, _depth=3, _compact_ok=False)
 
     return PairRoutePlan(
         n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
         K=K, R=R, T=T, S=S, RPP=RPP,
-        FPA=jnp.asarray(FPA), FPB=jnp.asarray(FPB),
-        has_a=jnp.asarray(has_a), has_b=jnp.asarray(has_b),
+        FPP=jnp.asarray(FPP),
+        page_slice=allp[:, 2].astype(np.int32),
+        page_route=allp[:, 1].astype(np.int32),
+        page_t=page_t, page_first=page_first, page_last=page_last,
         vrow_src=vrow_src, retry=retry,
         spill=(gid[cur], a_idx[cur], b_idx[cur]),
         spill_frac=float(cur.size / max(n_terms, 1)),
+        tail_merge=tail_merge,
     )
 
 
@@ -260,28 +335,28 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
 
     Xa = slices(a_vals, plan.nnz_a)
     Xb = slices(b_vals, plan.nnz_b)
-    FPA = np.asarray(plan.FPA)
-    FPB = np.asarray(plan.FPB)
+    FPP = np.asarray(plan.FPP)
     y = np.zeros((T, R * _LANE), np.float32)
-    for t in range(T):
-        za = np.zeros((_H, _LANE), np.float32)
-        zb = np.zeros((_H, _LANE), np.float32)
-        for s in range(S):
-            p = t * S + s
-            for fp, X, z in ((FPA[p], Xa[s], za), (FPB[p], Xb[s], zb)):
-                for d in range(_D):
-                    b = slice(d * _BLK, (d + 1) * _BLK)
-                    H = np.take_along_axis(X, fp[b] & 0xFF, axis=1)
-                    Sm = np.take_along_axis(H.T, (fp[b] >> 8) & 0xFF,
-                                            axis=1)
-                    Z = np.take_along_axis(Sm.T, (fp[b] >> 16) & 0xFF,
-                                           axis=1)
-                    z[b] += Z * (fp[b] >> 24)
-        P = za * zb
-        acc = np.zeros((R, _LANE), np.float32)
-        for k in range(K):
-            acc += P[k * R:(k + 1) * R]
-        y[t] = acc.T.reshape(-1)  # interleaved layout: lr = l*R + r
+    za = zb = None
+    for p in range(plan.n_pages):
+        if plan.page_first[p]:
+            za = np.zeros((_H, _LANE), np.float32)
+            zb = np.zeros((_H, _LANE), np.float32)
+        fp = FPP[p]
+        X = (Xa if plan.page_route[p] == 0 else Xb)[plan.page_slice[p]]
+        z = za if plan.page_route[p] == 0 else zb
+        for d in range(_D):
+            b = slice(d * _BLK, (d + 1) * _BLK)
+            H = np.take_along_axis(X, fp[b] & 0xFF, axis=1)
+            Sm = np.take_along_axis(H.T, (fp[b] >> 8) & 0xFF, axis=1)
+            Z = np.take_along_axis(Sm.T, (fp[b] >> 16) & 0xFF, axis=1)
+            z[b] += Z * (fp[b] >> 24)
+        if plan.page_last[p]:
+            P = za * zb
+            acc = np.zeros((R, _LANE), np.float32)
+            for k in range(K):
+                acc += P[k * R:(k + 1) * R]
+            y[plan.page_t[p]] = acc.T.reshape(-1)  # lr = l*R + r
     yr = y[:, : plan.RPP].reshape(-1)
     out = yr[: plan.n_out].copy()
     nvr = plan.vrow_src.size
@@ -297,42 +372,43 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
-def _pair_kernel(ha_ref, hb_ref, xa_ref, xb_ref, fpa_ref, fpb_ref,
-                 o_ref, za, zb, *, K, R, S):
-    s = pl.program_id(1)
-    p = pl.program_id(0) * jnp.int32(S) + s
+def _pair_kernel(sl_ref, rt_ref, t_ref, fi_ref, la_ref,
+                 xa_ref, xb_ref, fp_ref, o_ref, za, zb, *, K, R):
+    """One packed active page per step (r5). A grouped-resident
+    variant (G pages/step, VMEM-resident operands + output panel with
+    dynamic stores) measured ~30 % SLOWER on v5e — the per-step
+    streaming pipeline beats dynamic slicing here."""
+    p = pl.program_id(0)
 
-    @pl.when(s == jnp.int32(0))
+    @pl.when(fi_ref[p] == jnp.int32(1))
     def _():
         za[...] = jnp.zeros_like(za)
         zb[...] = jnp.zeros_like(zb)
 
-    Xa = xa_ref[...]
-    Xb = xb_ref[...]
-    for h_ref, fp_ref, X, z in ((ha_ref, fpa_ref, Xa, za),
-                                (hb_ref, fpb_ref, Xb, zb)):
-        @pl.when(h_ref[p] == jnp.int32(1))
-        def _(fp_ref=fp_ref, X=X, z=z):
-            # empty (page, route) pairs skip the whole gather block:
-            # a dest page's route-a sources live in a contiguous
-            # a-window (~26 % of slices are outside it on the bench
-            # case), and per-step gather/VPU work is what bounds this
-            # kernel.
-            fp = fp_ref[0]                               # (512, 128)
-            # stage 1 batches all 4 dest blocks in one lane gather:
-            # the source tile is replicated per block
-            Xr = jnp.concatenate([X] * _D, axis=0)       # (512, 128)
-            H = _take_lane(Xr, fp & jnp.int32(0xFF))
-            H = H.reshape(_D, _BLK, _LANE)
-            Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
-            Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
-            Sm = Sm.reshape(_D, _BLK, _LANE)
-            St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
-            Z = _take_lane(St, fp >> jnp.int32(16) & jnp.int32(0xFF))
-            mk = (fp >> jnp.int32(24)).astype(jnp.float32)
-            z[...] = z[...] + Z * mk
+    fp = fp_ref[0]                                   # (512, 128)
 
-    @pl.when(s == jnp.int32(S - 1))
+    def takes(X):
+        # stage 1 batches all 4 dest blocks in one lane gather: the
+        # source tile is replicated per block
+        Xr = jnp.concatenate([X] * _D, axis=0)       # (512, 128)
+        H = _take_lane(Xr, fp & jnp.int32(0xFF))
+        H = H.reshape(_D, _BLK, _LANE)
+        Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
+        Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
+        Sm = Sm.reshape(_D, _BLK, _LANE)
+        St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
+        Z = _take_lane(St, fp >> jnp.int32(16) & jnp.int32(0xFF))
+        return Z * (fp >> jnp.int32(24)).astype(jnp.float32)
+
+    @pl.when(rt_ref[p] == jnp.int32(0))
+    def _():
+        za[...] = za[...] + takes(xa_ref[...])
+
+    @pl.when(rt_ref[p] == jnp.int32(1))
+    def _():
+        zb[...] = zb[...] + takes(xb_ref[...])
+
+    @pl.when(la_ref[p] == jnp.int32(1))
     def _():
         P = za[...] * zb[...]
         acc = jnp.zeros((R, _LANE), jnp.float32)
@@ -343,7 +419,8 @@ def _pair_kernel(ha_ref, hb_ref, xa_ref, xb_ref, fpa_ref, fpb_ref,
 
 @partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nnz_a",
                                    "nnz_b", "interpret"))
-def _pair_call(FPA, FPB, has_a, has_b, a_vals, b_vals, *, K, R, T, S,
+def _pair_call(FPP, page_slice, page_route, page_t, page_first,
+               page_last, a_vals, b_vals, *, K, R, T, S,
                RPP, nnz_a, nnz_b, interpret=False):
     def slices(v, nnz):
         X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
@@ -353,33 +430,37 @@ def _pair_call(FPA, FPB, has_a, has_b, a_vals, b_vals, *, K, R, T, S,
 
     Xa = slices(a_vals, nnz_a)
     Xb = slices(b_vals, nnz_b)
+    P_pages = int(FPP.shape[0])
 
     _z = lambda: jnp.int32(0)
-    stream = lambda: pl.BlockSpec(
-        (1, _H, _LANE), lambda t, s, *_: (t * S + s, _z(), _z()),
-        memory_space=pltpu.VMEM)
     xspec = lambda: pl.BlockSpec(
-        (_BLK, _LANE), lambda t, s, *_: (s, _z()),
+        (_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T, S),
-        in_specs=[xspec(), xspec(), stream(), stream()],
-        out_specs=pl.BlockSpec((1, R, _LANE),
-                               lambda t, s, *_: (t, _z(), _z()),
-                               memory_space=pltpu.VMEM),
+        num_scalar_prefetch=5,
+        grid=(P_pages,),
+        in_specs=[
+            xspec(), xspec(),
+            pl.BlockSpec((1, _H, _LANE), lambda p, *_: (p, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, _LANE),
+            lambda p, sl, rt, tt, fi, la: (tt[p], _z(), _z()),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((_H, _LANE), jnp.float32),
                         pltpu.VMEM((_H, _LANE), jnp.float32)],
     )
     fn = pl.pallas_call(
-        partial(_pair_kernel, K=K, R=R, S=S),
+        partial(_pair_kernel, K=K, R=R),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20),
     )
-    y = fn(has_a, has_b, Xa, Xb, FPA, FPB)
+    y = fn(page_slice, page_route, page_t, page_first, page_last,
+           Xa, Xb, FPP)
     # interleaved slot layout (lr = l*R + r): one XLA transpose per call
     y = y.transpose(0, 2, 1).reshape(T, _LANE * R)
     return y[:, :RPP].reshape(-1)
@@ -389,22 +470,34 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
                      tables=None, interpret: bool = False) -> jax.Array:
     """Numeric SpGEMM through the paired plan (+ XLA spill path).
 
-    ``tables``: optional ``(FPA, FPB)`` override. When calling from
-    inside an enclosing ``jit``, pass the plan's tables through that
-    jit's *arguments* and hand them in here — captured as closure
-    constants they are serialised into the compile payload, which for
-    large plans (100s of MB) breaks remote-compile transports and
-    bloats compilation."""
-    FPA, FPB = tables if tables is not None else (plan.FPA, plan.FPB)
-    yr = _pair_call(FPA, FPB, plan.has_a, plan.has_b, a_vals, b_vals,
+    ``tables``: optional table override — the packed ``FPP``, or a
+    ``(FPP, tail_FP)`` pair including the tail-merge route table. When
+    calling from inside an enclosing ``jit``, pass the plan's tables
+    through that jit's *arguments* and hand them in here — captured as
+    closure constants they are serialised into the compile payload,
+    which for large plans (100s of MB) breaks remote-compile
+    transports and bloats compilation."""
+    tail_FP = None
+    if isinstance(tables, (tuple, list)):
+        FPP, tail_FP = tables
+    else:
+        FPP = tables if tables is not None else plan.FPP
+    # prefetch arrays must be i32: s64 operands hit XLA's unimplemented
+    # X64-rewrite path for tpu_custom_call
+    i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+    yr = _pair_call(FPP, i32(plan.page_slice), i32(plan.page_route),
+                    i32(plan.page_t), i32(plan.page_first),
+                    i32(plan.page_last), a_vals, b_vals,
                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
                     RPP=plan.RPP, nnz_a=plan.nnz_a, nnz_b=plan.nnz_b,
                     interpret=interpret)
     y = yr[: plan.n_out]
-    # one merged tail scatter (vrow region + retry regions): scatter-add
-    # pays a per-op cost on top of its ~0.09 Gelem/s rate, so batch the
-    # slices (their target indices are plan constants)
-    idx_parts, val_parts = [], []
+    # tail fold (vrow region + retry regions): through the routed 0/1
+    # merge when the plan built one (~200k-element XLA scatters cost
+    # ~1.8 ms; the routed fold runs at ~0.7 us/page); XLA scatter-add
+    # with batched plan-constant indices for small tails
+    val_parts = []
+    idx_parts = []
     nvr = plan.vrow_src.size
     if nvr:
         idx_parts.append(np.asarray(plan.vrow_src, np.int64))
@@ -412,7 +505,14 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
     for start, gids in plan.retry:
         idx_parts.append(np.asarray(gids, np.int64))
         val_parts.append(yr[start: start + gids.size])
-    if idx_parts:
+    if val_parts and plan.tail_merge is not None:
+        from .csr_route import _merge_ones, _route_spmv_impl
+
+        tail = jnp.concatenate(val_parts)
+        y = y + _route_spmv_impl(plan.tail_merge, tail,
+                                 _merge_ones(plan.tail_merge),
+                                 interpret, _FP=tail_FP)
+    elif idx_parts:
         tail_idx = jnp.asarray(np.concatenate(idx_parts))
         y = y.at[tail_idx].add(jnp.concatenate(val_parts))
     sp_g, sp_a, sp_b = plan.spill

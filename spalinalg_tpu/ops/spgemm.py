@@ -102,7 +102,8 @@ class SpgemmPlan:
                     lambda: build_pair_route_plan(
                         gid, ai, bi, max(self.n_out, 1),
                         max(nnz_a, 1), max(nnz_b, 1)),
-                    jax_fields=("FPA", "FPB", "has_a", "has_b"))
+                    jax_fields=("FPP", "FP"),
+                    recurse=("tail_merge", "spill_plan", "merge_plan"))
         except ValueError:  # table budget exceeded
             plan = None
         if plan is not None and plan.spill_frac > 0.10:
@@ -260,7 +261,7 @@ def spgemm_apply(plan: SpgemmPlan, a_values: jax.Array, b_values: jax.Array):
             # (HTTP 413) and bloats compilation, so large plans fall
             # back to the XLA formulation there. Callers who want the
             # kernel inside their own jit should thread
-            # ``(pr.FPA, pr.FPB)`` through that jit's arguments and
+            # ``pr.FPP`` through that jit's arguments and
             # call ``pair_route_apply(..., tables=...)`` directly
             # (bench.py shows the pattern).
             from .kernels.pair_route import pair_route_apply

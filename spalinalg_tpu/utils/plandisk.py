@@ -40,7 +40,7 @@ import numpy as np
 
 __all__ = ["plan_cache_dir", "load_or_build"]
 
-_VERSION = 5  # bump when plan layouts or build algorithms change
+_VERSION = 6  # bump when plan layouts or build algorithms change
 _native_hash_cache = None
 
 
@@ -144,8 +144,12 @@ def _decode(key, arrays, meta):
         obj = object.__new__(cls)
         for f in dataclasses.fields(cls):
             fkey = f"{key}/{f.name}"
-            val = _decode(fkey, arrays, meta) if fkey in meta else None
-            object.__setattr__(obj, f.name, val)
+            if fkey not in meta:
+                # field added since this file was written: the stored
+                # plan predates the current layout — rebuild rather
+                # than silently None-fill (load_or_build catches this)
+                raise KeyError(f"stale plan layout: missing {fkey}")
+            object.__setattr__(obj, f.name, _decode(fkey, arrays, meta))
         return obj
     raise ValueError(f"bad manifest kind {k!r}")
 
@@ -197,8 +201,10 @@ def _evict(cdir) -> None:
 
 
 def _to_host(obj, jax_fields, recurse):
+    # missing names are fine: recursed child plans may be a different
+    # plan class with different device-array fields
     for f in jax_fields:
-        v = getattr(obj, f)
+        v = getattr(obj, f, None)
         if v is not None:
             object.__setattr__(obj, f, np.asarray(v))
     if getattr(obj, "_baked", None) is not None:
@@ -209,7 +215,7 @@ def _to_host(obj, jax_fields, recurse):
         # -MB table file per values array); callers re-attach their own
         object.__setattr__(obj, "default_values", None)
     for f in recurse:
-        child = getattr(obj, f)
+        child = getattr(obj, f, None)
         if child is not None:
             _to_host(child, jax_fields, recurse)
     return obj
@@ -221,11 +227,11 @@ def _to_device(obj, jax_fields, recurse):
 
     with jax.ensure_compile_time_eval():
         for f in jax_fields:
-            v = getattr(obj, f)
+            v = getattr(obj, f, None)
             if v is not None:
                 object.__setattr__(obj, f, jnp.asarray(v))
         for f in recurse:
-            child = getattr(obj, f)
+            child = getattr(obj, f, None)
             if child is not None:
                 _to_device(child, jax_fields, recurse)
     return obj

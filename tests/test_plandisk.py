@@ -58,7 +58,7 @@ def test_pair_plan_npz_roundtrip(rng, tmp_path):
     bi = rng.integers(0, 2048, size=n_terms)
     plan = build_pair_route_plan(gid, ai, bi, 512, 2048, 2048)
     path = str(tmp_path / "pair.npz")
-    host = plandisk._to_host(plan, ("FPA", "FPB", "has_a", "has_b"), ())
+    host = plandisk._to_host(plan, ("FPP",), ())
     plandisk._save(path, host)
     back = plandisk._load(path)
     assert back.n_terms == plan.n_terms
@@ -67,7 +67,8 @@ def test_pair_plan_npz_roundtrip(rng, tmp_path):
     for (s0, g0), (s1, g1) in zip(plan.retry, back.retry):
         assert s0 == s1
         np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
-    for f in ("FPA", "FPB"):
+    for f in ("FPP", "page_slice", "page_route", "page_t",
+              "page_first", "page_last"):
         np.testing.assert_array_equal(np.asarray(getattr(plan, f)),
                                       np.asarray(getattr(back, f)))
 
