@@ -92,6 +92,26 @@ class TestDistSpmv:
                                        dist))
         np.testing.assert_allclose(y8, y1, rtol=1e-13)
 
+    def test_dist_spgemm_on_device(self, rng, mesh):
+        """DistCsr * DistCsr: symbolic on structure, NUMERIC on device
+        — the product values must match the single-chip SpGEMM and
+        come back row-sharded on the same mesh (VERDICT r4 #8; the r4
+        path re-partitioned values through the host)."""
+        a, da = _random_csr(rng, 80, 96)
+        b, db = _random_csr(rng, 96, 72)
+        dA = partition_csr(a, mesh)
+        dB = partition_csr(b, mesh)
+        # note: row partitions need matching row spaces only for the
+        # layout reuse; the product is defined by the logical dims
+        dC = dA * dB
+        ref = (a * b).to_dense()
+        got = dC.to_csr().to_dense()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        # result values live sharded on the mesh (not host-gathered)
+        assert dC.mesh is mesh
+        assert dC.values.shape[0] == dA.n_shards
+
     def test_nondivisible_rows(self, rng, mesh):
         a, d = _random_csr(rng, 59, 59)  # 59 not divisible by 8
         dist = partition_csr(a, mesh)
