@@ -32,6 +32,7 @@ reference's Gustavson loop is the CPU oracle, this is north-star N3.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -77,12 +78,20 @@ _MAX_PAIR_TABLE_BYTES = 1 << 30  # FPA+FPB combined budget
 class PairRoutePlan:
     """Host-built paired routing tables for one SpGEMM term structure.
 
-    r5 layout: only ACTIVE (dest step, slice, route) pages are stored,
-    packed into one table streamed by a 1-D grid whose per-page slice/
-    route/output-step ids ride scalar-prefetch arrays. The r4 dense
-    (T, S)-grid streamed both route tables for every page — 518 MB and
-    1976 grid steps on the bench case where only 1113 route-pages had
-    any entries (slot load 4.3 %)."""
+    r5 layout: only ACTIVE (dest step, slice-group, route) pages are
+    stored, packed into one table streamed by a 1-D grid whose per-page
+    slice-group/route/output-step ids ride scalar-prefetch arrays. The
+    r4 dense (T, S)-grid streamed both route tables for every page —
+    518 MB and 1976 grid steps on the bench case where only 1113
+    route-pages had any entries (slot load 4.3 %).
+
+    r5b slice grouping: a route whose pages are COVERAGE-bound (most
+    (step, slice) pairs active at low slot load — route b on the bench
+    case ran 988 pages at 4.5 % load) groups G consecutive source
+    slices per page. The per-entry source slice-within-group rides 3
+    spare bits of the stage-1 table word (bits 25-27); the kernel runs
+    G stage-1 gathers masked-summed by those bits, so per-page cost
+    grows ~(4+1.3G)/5.3 while page count shrinks ~G-fold."""
 
     n_out: int              # output slots (C nnz)
     nnz_a: int
@@ -93,8 +102,11 @@ class PairRoutePlan:
     T: int
     S: int                  # max source slices across the two routes
     RPP: int
+    Ga: int                 # slice-group degree, route a
+    Gb: int                 # slice-group degree, route b
     FPP: jax.Array          # (P, 512, 128) i32 packed active pages
-    page_slice: np.ndarray  # (P,) i32 source slice per page
+    page_slice_a: np.ndarray  # (P,) i32 route-a block index (fwd-filled)
+    page_slice_b: np.ndarray  # (P,) i32 route-b block index (fwd-filled)
     page_route: np.ndarray  # (P,) i32 0 = route a, 1 = route b
     page_t: np.ndarray      # (P,) i32 dest step per page (ascending)
     page_first: np.ndarray  # (P,) i32 1 on the first page of its t
@@ -172,6 +184,37 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     if T * S > (1 << 22):
         raise ValueError("pair route page space would exceed budget")
 
+    # --- slice-group degree per route (r5b) --------------------------
+    # A coverage-bound route (nearly every (step, slice) pair active at
+    # low slot load) groups G consecutive slices per page: page count
+    # divides by ~G while per-page cost grows by the extra stage-1
+    # gathers (~(4 + 1.3 G) vs 5.3 units). Chosen per route from the
+    # round-0 placement; guarded so grouped slot load stays colorable.
+    t0 = dest_row // RPP
+
+    def _choose_G(idx):
+        env = os.environ.get("SPALINALG_PAIR_GROUP", "")
+        if env:
+            try:
+                return max(1, min(8, int(env.strip())))
+            except ValueError:
+                pass
+        best, bestG = None, 1
+        for G in (1, 2, 4, 8):
+            act = max(1, np.unique(t0 * S + idx // (_SLICE_COLS * G)).size)
+            load = n_terms / (act * _H * _LANE)
+            if G > 1 and load > 0.6:
+                continue
+            cost = act * (4.0 + 1.3 * G)
+            if best is None or cost < best:
+                best, bestG = cost, G
+        return bestG
+
+    Ga = _choose_G(a_idx) if n_terms else 1
+    Gb = _choose_G(b_idx) if n_terms else 1
+    SGa = -(-S // Ga)
+    SGb = -(-S // Gb)
+
     def slot_geom(rows, kk_s):
         """Dest-slot coordinates for given dest rows.
 
@@ -188,16 +231,25 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
         l_r = lr // R
         return t_r, sdest, l_r, sdest // _BLK, sdest % _BLK
 
-    def color(idx, t_r, d_r, sdb):
+    def color(idx, t_r, d_r, sdb, G, SG):
         sl = idx // _SLICE_COLS
+        gsl = sl // G
+        w = sl % G                 # slice within group (table bits 25+)
         cl = idx % _SLICE_COLS
         rr = cl % _LANE            # source row (col-major window)
         lc = cl // _LANE           # source lane
-        page = t_r * S + sl
+        # group page: all G slices share one coloring space, so the
+        # stage-table slot invariants hold across the whole group.
+        # The sharing payload must be (lc, w), not lc alone: two
+        # entries from DIFFERENT group slices with the same (rr, lc)
+        # are different source elements — sharing a stage-1 slot would
+        # silently drop one slice-select (measured: ~0.1 % of bench
+        # terms fetched the wrong slice before this).
+        page = t_r * SG + gsl
         grp = (page * _D + d_r) * _BLK + sdb
         forb = (page * _D + d_r) * _BLK + rr
-        m, ok = _color_all(grp, forb, lc, rng)
-        return sl, rr, lc, m, ok
+        m, ok = _color_all(grp, forb, lc + w * _LANE, rng)
+        return gsl, w, rr, lc, m, ok
 
     # Coloring rounds: terms that fail the first coloring retry in
     # fresh tail rows on fresh pages (disjoint coloring spaces), so
@@ -212,13 +264,13 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     next_row = -(-nrows_tot // RPP) * RPP
     for _round in range(3):
         t_r, sdest, l_r, d_r, sdb = slot_geom(rows_cur, kk_cur)
-        ra = color(a_idx[cur], t_r, d_r, sdb)
-        rb = color(b_idx[cur], t_r, d_r, sdb)
-        ok = ra[4] & rb[4]
+        ra = color(a_idx[cur], t_r, d_r, sdb, Ga, SGa)
+        rb = color(b_idx[cur], t_r, d_r, sdb, Gb, SGb)
+        ok = ra[5] & rb[5]
         g = np.flatnonzero(ok)
         placed.append((cur[g], t_r[g], sdest[g], l_r[g],
-                       tuple(x[g] for x in ra[:4]),
-                       tuple(x[g] for x in rb[:4])))
+                       tuple(x[g] for x in ra[:5]),
+                       tuple(x[g] for x in rb[:5])))
         bad = np.flatnonzero(~ok)
         if bad.size == 0 or _round == 2:
             cur = cur[bad]
@@ -232,22 +284,21 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     rows_used = (retry[-1][0] + retry[-1][1].size) if retry else nrows_tot
     T = max(T, -(-rows_used // RPP))
 
-    # --- pack ACTIVE (t, route, slice) pages (r5) --------------------
+    # --- pack ACTIVE (t, route, slice-group) pages (r5) --------------
     # Active-page discovery from the placed records (vectorised).
-    def active(route_sel):
-        ps = np.zeros(T * S, bool)
+    def active(route_sel, SG):
+        ps = np.zeros(T * SG, bool)
         for rec in placed:
             t_r = rec[1]
-            sl = rec[4][0] if route_sel == 0 else rec[5][0]
-            ps[t_r * S + sl] = True
+            gsl = rec[4][0] if route_sel == 0 else rec[5][0]
+            ps[t_r * SG + gsl] = True
         return ps
 
-    act_a, act_b = active(0), active(1)
-    ia = np.flatnonzero(act_a)
-    ib = np.flatnonzero(act_b)
+    ia = np.flatnonzero(active(0, SGa))
+    ib = np.flatnonzero(active(1, SGb))
     allp = np.concatenate([
-        np.stack([ia // S, np.zeros_like(ia), ia % S], 1),
-        np.stack([ib // S, np.ones_like(ib), ib % S], 1)])
+        np.stack([ia // SGa, np.zeros_like(ia), ia % SGa], 1),
+        np.stack([ib // SGb, np.ones_like(ib), ib % SGb], 1)])
     # every dest step needs >= 1 page so its output block is written
     present = np.zeros(T, bool)
     if allp.size:
@@ -262,22 +313,39 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     if P_pages * _H * _LANE * 4 > _MAX_PAIR_TABLE_BYTES:
         raise ValueError("pair route tables would exceed memory budget")
     FPP = np.zeros((P_pages, _H, _LANE), np.int32)
-    pmap = np.full((2, T * S), -1, np.int64)
-    pmap[allp[:, 1], allp[:, 0] * S + allp[:, 2]] = np.arange(P_pages)
+    pmap_a = np.full(T * SGa, -1, np.int64)
+    pmap_b = np.full(T * SGb, -1, np.int64)
+    sel_a = allp[:, 1] == 0
+    pmap_a[allp[sel_a, 0] * SGa + allp[sel_a, 2]] = np.flatnonzero(sel_a)
+    pmap_b[allp[~sel_a, 0] * SGb + allp[~sel_a, 2]] = np.flatnonzero(~sel_a)
 
     def fill(route_sel):
+        pmap_r, SG = (pmap_a, SGa) if route_sel == 0 else (pmap_b, SGb)
         for rec in placed:
             _idx, t_r, sdest, l_r = rec[0], rec[1], rec[2], rec[3]
-            sl, rr, lc, m = rec[4] if route_sel == 0 else rec[5]
+            gsl, w, rr, lc, m = rec[4] if route_sel == 0 else rec[5]
             d_r = sdest // _BLK
             sdb = sdest % _BLK
-            page = pmap[route_sel, t_r * S + sl]
-            FPP[page, d_r * _BLK + rr, m] |= lc
+            page = pmap_r[t_r * SG + gsl]
+            FPP[page, d_r * _BLK + rr, m] |= lc | (w << 25)
             FPP[page, d_r * _BLK + m, sdb] |= rr << 8
             FPP[page, d_r * _BLK + sdb, l_r] |= (m << 16) | (1 << 24)
 
     fill(0)
     fill(1)
+    # per-operand block indices with forward fill: a page of the OTHER
+    # route keeps the previous index so Pallas skips the re-fetch and
+    # the index stays in bounds for that operand's (smaller) block grid
+    def _ffill(x):
+        idx = np.where(x >= 0, np.arange(x.size), 0)
+        np.maximum.accumulate(idx, out=idx)
+        out = x[idx]
+        out[out < 0] = 0
+        return out
+
+    gsl_np = allp[:, 2]
+    page_slice_a = _ffill(np.where(allp[:, 1] == 0, gsl_np, -1))
+    page_slice_b = _ffill(np.where(allp[:, 1] == 1, gsl_np, -1))
     page_t = allp[:, 0].astype(np.int32)
     bnd = (page_t[1:] != page_t[:-1]).astype(np.int32)
     one = np.ones(1, np.int32)
@@ -308,9 +376,10 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
 
     return PairRoutePlan(
         n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
-        K=K, R=R, T=T, S=S, RPP=RPP,
+        K=K, R=R, T=T, S=S, RPP=RPP, Ga=Ga, Gb=Gb,
         FPP=jnp.asarray(FPP),
-        page_slice=allp[:, 2].astype(np.int32),
+        page_slice_a=page_slice_a.astype(np.int32),
+        page_slice_b=page_slice_b.astype(np.int32),
         page_route=allp[:, 1].astype(np.int32),
         page_t=page_t, page_first=page_first, page_last=page_last,
         vrow_src=vrow_src, retry=retry,
@@ -328,13 +397,14 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
     """Replay the kernel's routing in NumPy (routed terms only)."""
     K, R, T, S = plan.K, plan.R, plan.T, plan.S
 
-    def slices(v, nnz):
-        X = np.zeros(S * _SLICE_COLS, np.float32)
+    def slices(v, nnz, G):
+        SG = -(-S // G)
+        X = np.zeros(SG * G * _SLICE_COLS, np.float32)
         X[:nnz] = np.asarray(v, np.float32)[:nnz]
-        return X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+        return X.reshape(SG * G, _LANE, _BLK).transpose(0, 2, 1)
 
-    Xa = slices(a_vals, plan.nnz_a)
-    Xb = slices(b_vals, plan.nnz_b)
+    Xa = slices(a_vals, plan.nnz_a, plan.Ga)
+    Xb = slices(b_vals, plan.nnz_b, plan.Gb)
     FPP = np.asarray(plan.FPP)
     y = np.zeros((T, R * _LANE), np.float32)
     za = zb = None
@@ -342,15 +412,22 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
         if plan.page_first[p]:
             za = np.zeros((_H, _LANE), np.float32)
             zb = np.zeros((_H, _LANE), np.float32)
-        fp = FPP[p]
-        X = (Xa if plan.page_route[p] == 0 else Xb)[plan.page_slice[p]]
-        z = za if plan.page_route[p] == 0 else zb
+        ra = plan.page_route[p] == 0
+        G = plan.Ga if ra else plan.Gb
+        gsl = (plan.page_slice_a if ra else plan.page_slice_b)[p]
+        Xs = (Xa if ra else Xb)[gsl * G:(gsl + 1) * G]
+        z = za if ra else zb
         for d in range(_D):
             b = slice(d * _BLK, (d + 1) * _BLK)
-            H = np.take_along_axis(X, fp[b] & 0xFF, axis=1)
+            sel = FPP[p][b] >> 25
+            H = np.zeros((_BLK, _LANE), np.float32)
+            for i in range(G):
+                Hi = np.take_along_axis(Xs[i], FPP[p][b] & 0xFF, axis=1)
+                H += Hi * (sel == i)
+            fp = FPP[p]
             Sm = np.take_along_axis(H.T, (fp[b] >> 8) & 0xFF, axis=1)
             Z = np.take_along_axis(Sm.T, (fp[b] >> 16) & 0xFF, axis=1)
-            z[b] += Z * (fp[b] >> 24)
+            z[b] += Z * ((fp[b] >> 24) & 1)
         if plan.page_last[p]:
             P = za * zb
             acc = np.zeros((R, _LANE), np.float32)
@@ -372,12 +449,17 @@ def simulate_pair_route(plan: PairRoutePlan, a_vals, b_vals) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
-def _pair_kernel(sl_ref, rt_ref, t_ref, fi_ref, la_ref,
-                 xa_ref, xb_ref, fp_ref, o_ref, za, zb, *, K, R):
+def _pair_kernel(sla_ref, slb_ref, rt_ref, t_ref, fi_ref, la_ref,
+                 xa_ref, xb_ref, fp_ref, o_ref, za, zb, *, K, R,
+                 Ga, Gb):
     """One packed active page per step (r5). A grouped-resident
     variant (G pages/step, VMEM-resident operands + output panel with
     dynamic stores) measured ~30 % SLOWER on v5e — the per-step
-    streaming pipeline beats dynamic slicing here."""
+    streaming pipeline beats dynamic slicing here.
+
+    r5b: a page sources from G stacked slices; stage 1 runs G gathers
+    masked-summed by the slice-select bits (25-27) of the table word.
+    """
     p = pl.program_id(0)
 
     @pl.when(fi_ref[p] == jnp.int32(1))
@@ -387,26 +469,38 @@ def _pair_kernel(sl_ref, rt_ref, t_ref, fi_ref, la_ref,
 
     fp = fp_ref[0]                                   # (512, 128)
 
-    def takes(X):
-        # stage 1 batches all 4 dest blocks in one lane gather: the
-        # source tile is replicated per block
-        Xr = jnp.concatenate([X] * _D, axis=0)       # (512, 128)
-        H = _take_lane(Xr, fp & jnp.int32(0xFF))
+    def takes(X, G):
+        # stage 1 batches all 4 dest blocks in one lane gather per
+        # group slice: the source tile is replicated per block, and
+        # each gathered plane is masked by the slice-select bits
+        if G == 1:
+            Xr = jnp.concatenate([X] * _D, axis=0)   # (512, 128)
+            H = _take_lane(Xr, fp & jnp.int32(0xFF))
+        else:
+            sel = fp >> jnp.int32(25)
+            H = jnp.zeros((_H, _LANE), jnp.float32)
+            for i in range(G):
+                Xi = jax.lax.slice(X, (i * _BLK, 0),
+                                   ((i + 1) * _BLK, _LANE))
+                Xr = jnp.concatenate([Xi] * _D, axis=0)
+                Hi = _take_lane(Xr, fp & jnp.int32(0xFF))
+                H = H + Hi * (sel == jnp.int32(i)).astype(jnp.float32)
         H = H.reshape(_D, _BLK, _LANE)
         Ht = jnp.swapaxes(H, 1, 2).reshape(_D * _BLK, _LANE)
         Sm = _take_lane(Ht, (fp >> jnp.int32(8)) & jnp.int32(0xFF))
         Sm = Sm.reshape(_D, _BLK, _LANE)
         St = jnp.swapaxes(Sm, 1, 2).reshape(_D * _BLK, _LANE)
         Z = _take_lane(St, fp >> jnp.int32(16) & jnp.int32(0xFF))
-        return Z * (fp >> jnp.int32(24)).astype(jnp.float32)
+        return Z * ((fp >> jnp.int32(24)) & jnp.int32(1)
+                    ).astype(jnp.float32)
 
     @pl.when(rt_ref[p] == jnp.int32(0))
     def _():
-        za[...] = za[...] + takes(xa_ref[...])
+        za[...] = za[...] + takes(xa_ref[...], Ga)
 
     @pl.when(rt_ref[p] == jnp.int32(1))
     def _():
-        zb[...] = zb[...] + takes(xb_ref[...])
+        zb[...] = zb[...] + takes(xb_ref[...], Gb)
 
     @pl.when(la_ref[p] == jnp.int32(1))
     def _():
@@ -418,49 +512,53 @@ def _pair_kernel(sl_ref, rt_ref, t_ref, fi_ref, la_ref,
 
 
 @partial(jax.jit, static_argnames=("K", "R", "T", "S", "RPP", "nnz_a",
-                                   "nnz_b", "interpret"))
-def _pair_call(FPP, page_slice, page_route, page_t, page_first,
-               page_last, a_vals, b_vals, *, K, R, T, S,
-               RPP, nnz_a, nnz_b, interpret=False):
-    def slices(v, nnz):
-        X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
+                                   "nnz_b", "Ga", "Gb", "interpret"))
+def _pair_call(FPP, page_slice_a, page_slice_b, page_route, page_t,
+               page_first, page_last, a_vals, b_vals, *, K, R, T, S,
+               RPP, nnz_a, nnz_b, Ga=1, Gb=1, interpret=False):
+    def slices(v, nnz, G):
+        SG = -(-S // G)
+        X = jnp.zeros((SG * G * _SLICE_COLS,), jnp.float32)
         X = X.at[:nnz].set(v.astype(jnp.float32)[:nnz])
-        X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
-        return X.reshape(S * _BLK, _LANE)
+        X = X.reshape(SG * G, _LANE, _BLK).transpose(0, 2, 1)
+        return X.reshape(SG * G * _BLK, _LANE)
 
-    Xa = slices(a_vals, nnz_a)
-    Xb = slices(b_vals, nnz_b)
+    Xa = slices(a_vals, nnz_a, Ga)
+    Xb = slices(b_vals, nnz_b, Gb)
     P_pages = int(FPP.shape[0])
 
     _z = lambda: jnp.int32(0)
-    xspec = lambda: pl.BlockSpec(
-        (_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
+    xspec_a = pl.BlockSpec(
+        (Ga * _BLK, _LANE), lambda p, sla, *_: (sla[p], _z()),
+        memory_space=pltpu.VMEM)
+    xspec_b = pl.BlockSpec(
+        (Gb * _BLK, _LANE), lambda p, sla, slb, *_: (slb[p], _z()),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(P_pages,),
         in_specs=[
-            xspec(), xspec(),
+            xspec_a, xspec_b,
             pl.BlockSpec((1, _H, _LANE), lambda p, *_: (p, _z(), _z()),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, R, _LANE),
-            lambda p, sl, rt, tt, fi, la: (tt[p], _z(), _z()),
+            lambda p, sla, slb, rt, tt, fi, la: (tt[p], _z(), _z()),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((_H, _LANE), jnp.float32),
                         pltpu.VMEM((_H, _LANE), jnp.float32)],
     )
     fn = pl.pallas_call(
-        partial(_pair_kernel, K=K, R=R),
+        partial(_pair_kernel, K=K, R=R, Ga=Ga, Gb=Gb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20),
     )
-    y = fn(page_slice, page_route, page_t, page_first, page_last,
-           Xa, Xb, FPP)
+    y = fn(page_slice_a, page_slice_b, page_route, page_t, page_first,
+           page_last, Xa, Xb, FPP)
     # interleaved slot layout (lr = l*R + r): one XLA transpose per call
     y = y.transpose(0, 2, 1).reshape(T, _LANE * R)
     return y[:, :RPP].reshape(-1)
@@ -485,12 +583,13 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
     # prefetch arrays must be i32: s64 operands hit XLA's unimplemented
     # X64-rewrite path for tpu_custom_call
     i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
-    yr = _pair_call(FPP, i32(plan.page_slice), i32(plan.page_route),
-                    i32(plan.page_t), i32(plan.page_first),
-                    i32(plan.page_last), a_vals, b_vals,
+    yr = _pair_call(FPP, i32(plan.page_slice_a), i32(plan.page_slice_b),
+                    i32(plan.page_route), i32(plan.page_t),
+                    i32(plan.page_first), i32(plan.page_last),
+                    a_vals, b_vals,
                     K=plan.K, R=plan.R, T=plan.T, S=plan.S,
                     RPP=plan.RPP, nnz_a=plan.nnz_a, nnz_b=plan.nnz_b,
-                    interpret=interpret)
+                    Ga=plan.Ga, Gb=plan.Gb, interpret=interpret)
     y = yr[: plan.n_out]
     # tail fold (vrow region + retry regions): through the routed 0/1
     # merge when the plan built one (~200k-element XLA scatters cost

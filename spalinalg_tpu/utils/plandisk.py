@@ -40,7 +40,7 @@ import numpy as np
 
 __all__ = ["plan_cache_dir", "load_or_build"]
 
-_VERSION = 6  # bump when plan layouts or build algorithms change
+_VERSION = 7  # bump when plan layouts or build algorithms change
 _native_hash_cache = None
 
 

@@ -114,6 +114,31 @@ class TestPairRoutePlan:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestSliceGrouping:
+    def test_forced_group_matches_oracle(self, monkeypatch):
+        """r5b: G source slices share one page; the slice-select bits
+        (25-27) pick the gathered plane per stage-1 slot. Forced G=2
+        with a 2-slice operand exercises w>0 entries end to end."""
+        monkeypatch.setenv("SPALINALG_PAIR_GROUP", "2")
+        n = 420
+        a = _mat(n, lambda r, n: r.integers(40, 46, size=n), 6)
+        b = _mat(n, lambda r, n: r.integers(1, 4, size=n), 7)
+        plan, pr = _plan_pair(a, b)
+        assert pr.Ga == 2 and pr.Gb == 2
+        assert pr.S >= 2  # route a really spans two source slices
+        av = np.asarray(a.values)
+        bv = np.asarray(b.values)
+        got = simulate_pair_route(pr, av, bv)
+        sp_g, sp_a, sp_b = pr.spill
+        np.add.at(got, sp_g, av[sp_a] * bv[sp_b])
+        np.testing.assert_allclose(got, _oracle(plan, av, bv),
+                                   rtol=1e-4, atol=1e-4)
+        got_k = np.asarray(pair_route_apply(
+            pr, jnp.asarray(av), jnp.asarray(bv), interpret=True))
+        np.testing.assert_allclose(got_k, _oracle(plan, av, bv),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestRetryRounds:
     def test_forced_coloring_retries_stay_exact(self):
         """A structure that overloads single source rows (every output

@@ -67,8 +67,8 @@ def test_pair_plan_npz_roundtrip(rng, tmp_path):
     for (s0, g0), (s1, g1) in zip(plan.retry, back.retry):
         assert s0 == s1
         np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
-    for f in ("FPP", "page_slice", "page_route", "page_t",
-              "page_first", "page_last"):
+    for f in ("FPP", "page_slice_a", "page_slice_b", "page_route",
+              "page_t", "page_first", "page_last"):
         np.testing.assert_array_equal(np.asarray(getattr(plan, f)),
                                       np.asarray(getattr(back, f)))
 
