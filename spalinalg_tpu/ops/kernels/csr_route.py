@@ -105,6 +105,9 @@ class RoutePlan:
     pk_first: np.ndarray = None     # (P,) i32 1 on first page of step
     merge_plan: "RoutePlan | None" = None  # top level only: routes the
                                            # concatenated partials into y
+    G: int = 1              # slice-group degree (r5b): packed pages
+                            # stack G source slices; slot slice-select
+                            # rides table bits 24-26
     default_values: np.ndarray = None  # values passed at build time
     rows_np: np.ndarray = None   # (nnz,) entry row ids (top level only)
     cols_np: np.ndarray = None   # (nnz,) entry col ids (top level only)
@@ -539,28 +542,61 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
             nrows = int(uniq.size)
     sl = colind // _SLICE_COLS
 
-    # per-(row, slice) group rank: entries are sorted by (row, col)
-    # hence by (row, slice) — rank within group = running index.
-    key = rows * S + sl
-    if nnz:
-        new = np.concatenate([[True], key[1:] != key[:-1]])
-        gstart = np.flatnonzero(new)
-        run = np.cumsum(new) - 1
-        kpos = np.arange(nnz, dtype=np.int64) - gstart[run]
-        gcounts = np.diff(np.append(gstart, nnz))
-        grows = rows[gstart]
-        maxcnt_per_row = np.zeros(nrows, np.int64)
-        np.maximum.at(maxcnt_per_row, grows, gcounts)
-    else:
-        kpos = np.zeros(0, np.int64)
-        gcounts = np.zeros(0, np.int64)
-        grows = np.zeros(0, np.int64)
-        maxcnt_per_row = np.zeros(nrows, np.int64)
+    # per-(row, slice-group) rank: entries are sorted by (row, col)
+    # hence by (row, group) — rank within group = running index. With
+    # G = 1 a group is a single slice (the r1-r4 layout).
+    def _group_stats(slk, stride):
+        key = rows * stride + slk
+        if nnz:
+            new = np.concatenate([[True], key[1:] != key[:-1]])
+            gstart = np.flatnonzero(new)
+            run = np.cumsum(new) - 1
+            kpos = np.arange(nnz, dtype=np.int64) - gstart[run]
+            gcounts = np.diff(np.append(gstart, nnz))
+            grows = rows[gstart]
+            maxcnt_per_row = np.zeros(nrows, np.int64)
+            np.maximum.at(maxcnt_per_row, grows, gcounts)
+        else:
+            kpos = np.zeros(0, np.int64)
+            gcounts = np.zeros(0, np.int64)
+            grows = np.zeros(0, np.int64)
+            maxcnt_per_row = np.zeros(nrows, np.int64)
+        return key, kpos, gcounts, grows, maxcnt_per_row
 
+    n_active = (nrows if compact_src is None else int(compact_src.size))
+    key, kpos, gcounts, grows, maxcnt_per_row = _group_stats(sl, S)
     K, H = _choose_K(maxcnt_per_row, nrows, S, nnz, gcounts, grows,
-                     _depth,
-                     n_active=(nrows if compact_src is None else
-                               int(compact_src.size)))
+                     _depth, n_active=n_active)
+
+    # --- slice-group degree (r5b) -----------------------------------
+    # Coverage-bound structures (merge plans, spill levels, banded
+    # matrices: most (step, slice) pairs active at low slot load) stack
+    # G consecutive source slices per page — the per-slot slice select
+    # rides table bits 24-26 and masks G stage-1 gathers, so page count
+    # divides by ~G while per-page cost grows ~(4+1.3G)/5.3. Dest slots
+    # are ranked within (row, GROUP), so K/H re-chosen on the grouped
+    # counts. Capped at 4: the SpMM kernel streams G*ncol source panes
+    # per page and G=8 would exceed VMEM at ncol=64. Grouped plans are
+    # always stored packed (the dense grid has no slice-select path).
+    G = 1
+    if nnz and S > 1:
+        _T0, RPP0 = _page_geometry(K, H, nrows, nnz, S)
+        t0 = rows // RPP0
+        best_c = np.unique(t0 * S + sl).size * 5.3
+        for Gc in (2, 4):
+            act = max(1, np.unique(t0 * S + sl // Gc).size)
+            if nnz / (act * H * _LANE) > 0.6:
+                continue  # grouped slot load would strain the coloring
+            cost = act * (4.0 + 1.3 * Gc)
+            if cost < best_c:
+                best_c, G = cost, Gc
+    SG = -(-S // G)
+    w_all = sl % G
+    if G > 1:
+        key, kpos, gcounts, grows, maxcnt_per_row = _group_stats(
+            sl // G, SG)
+        K, H = _choose_K(maxcnt_per_row, nrows, SG, nnz, gcounts,
+                         grows, _depth, n_active=n_active)
     R = H // K
     D = H // _BLK
 
@@ -598,8 +634,8 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     dest_row = np.where(routable, dest_row, 0)  # dummy for spilled
 
     nrows_tot = nrows + nvr
-    T, RPP = _page_geometry(K, H, nrows_tot, nnz - n_over, S)
-    if T * S * H * _LANE * 16 > _MAX_TABLE_BYTES:
+    T, RPP = _page_geometry(K, H, nrows_tot, nnz - n_over, SG)
+    if T * SG * H * _LANE * 16 > _MAX_TABLE_BYTES:
         raise ValueError("route plan tables would exceed memory budget")
 
     cl = colind % _SLICE_COLS
@@ -628,10 +664,13 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         l_r = lr % _LANE                    # dest lane
         d_r = sdest // _BLK                 # dest block
         sdb = sdest % _BLK                  # dest row within block
-        page = t_r * S + sl
+        page = t_r * SG + sl // G
         grp = (page * D + d_r) * _BLK + sdb
         forb = (page * D + d_r) * _BLK + rr
-        m_s, ok_s = _color_all(grp[ridx], forb[ridx], lc[ridx], rng)
+        # sharing payload is (lc, w): same-(rr, lc) entries from
+        # different group slices are different source elements
+        m_s, ok_s = _color_all(grp[ridx], forb[ridx],
+                               (lc + w_all * _LANE)[ridx], rng)
         nfail = int(ridx.size - ok_s.sum())
         if best is None or nfail < best[0]:
             best = (nfail, kk_try, m_s, ok_s)
@@ -640,7 +679,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         # rotate k-slots of groups containing a failure
         bad_groups = np.zeros(nnz, bool)
         bad_groups[ridx[~ok_s]] = True
-        grp_bad = np.zeros(nrows * S + S, bool)
+        grp_bad = np.zeros(nrows * SG + SG, bool)
         np.logical_or.at(grp_bad, key[bad_groups], True)
         rot = grp_bad[key] & routable
         kk_try = np.where(rot, (kk_try + 1 + _round) % K, kk_try)
@@ -651,7 +690,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     l_r = lr % _LANE
     d_r = sdest // _BLK
     sdb = sdest % _BLK
-    page = t_r * S + sl
+    page = t_r * SG + sl // G
     m = np.zeros(nnz, np.int64)
     ok = np.zeros(nnz, bool)
     m[ridx] = m_s
@@ -668,16 +707,18 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     # / slice / first-of-step ids ride scalar-prefetch arrays.
     pg_used = np.unique(page[g]) if g.any() else np.zeros(0, np.int64)
     present_t = np.zeros(T, bool)
-    present_t[pg_used // S] = True
+    present_t[pg_used // SG] = True
     miss_t = np.flatnonzero(~present_t)
-    keep = np.sort(np.concatenate([pg_used, miss_t * S]))
-    packed = keep.size < 0.7 * T * S
+    keep = np.sort(np.concatenate([pg_used, miss_t * SG]))
+    # grouped plans always pack: the dense-grid kernels have no slice
+    # -select path, and a grouped structure is coverage-bound anyway
+    packed = G > 1 or keep.size < 0.7 * T * S
     if packed:
-        pmap = np.full(T * S, -1, np.int64)
+        pmap = np.full(T * SG, -1, np.int64)
         pmap[keep] = np.arange(keep.size)
         pg_of = pmap[page]
-        pk_t = (keep // S).astype(np.int32)
-        pk_s = (keep % S).astype(np.int32)
+        pk_t = (keep // SG).astype(np.int32)
+        pk_s = (keep % SG).astype(np.int32)
         pk_first = np.concatenate(
             [np.ones(1, np.int32),
              (pk_t[1:] != pk_t[:-1]).astype(np.int32)])
@@ -690,7 +731,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
     F1 = np.zeros((n_pages, H, _LANE), np.int32)
     F2 = np.zeros((n_pages, H, _LANE), np.int32)
     F3 = np.zeros((n_pages, H, _LANE), np.int32)
-    F1[pg_of[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g]
+    F1[pg_of[g], d_r[g] * _BLK + rr[g], m[g]] = lc[g] | (w_all[g] << 24)
     F2[pg_of[g], d_r[g] * _BLK + m[g], sdb[g]] = rr[g]
     F3[pg_of[g], d_r[g] * _BLK + sdb[g], l_r[g]] = m[g]
     val_slot = (pg_of[g] * H + sdest[g]) * _LANE + l_r[g]
@@ -727,7 +768,7 @@ def build_route_plan(rowptr, colind, values, nrows, ncols,
         spill_frac=float(sp_rows.size / max(nnz, 1)), nnz=nnz,
         spill_plan=spill_plan,
         compact_src=compact_src, nrows_full=nrows_orig,
-        pk_t=pk_t, pk_s=pk_s, pk_first=pk_first,
+        pk_t=pk_t, pk_s=pk_s, pk_first=pk_first, G=G,
         default_values=(None if _entry_src is not None
                         else values.astype(np.float32)),
         rows_np=(None if _entry_src is not None
@@ -781,15 +822,20 @@ def simulate_route(plan: RoutePlan, x: np.ndarray,
     """Replay the kernel's routing in NumPy (routed entries only)."""
     K, R, T, S = plan.K, plan.R, plan.T, plan.S
     H, D = plan.H, plan.H // _BLK
-    X = np.zeros(S * _SLICE_COLS, np.float32)
+    G = plan.G
+    SP = -(-S // G) * G
+    X = np.zeros(SP * _SLICE_COLS, np.float32)
     X[: plan.ncols] = np.asarray(x, np.float32)[: plan.ncols]
     # column-major slices: X[s][rr, lc] = x_slice[lc*128 + rr]
-    X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
+    X = X.reshape(SP, _LANE, _BLK).transpose(0, 2, 1)
     if values is None:
         values = plan.default_values
-    F1, F2, F3 = (np.asarray(a) for a in (plan.F1, plan.F2, plan.F3))
+    FP = np.asarray(plan.FP)
+    F1, F2, F3 = FP & 0xFF, (FP >> 8) & 0xFF, (FP >> 16) & 0xFF
+    SEL = FP >> 24
     VALS = np.asarray(plan.bake(values)).reshape(plan.n_pages, H, _LANE)
     # page enumeration: dense (t, s) grid, or the packed active list
+    # (pk_s holds slice-GROUP ids when G > 1)
     if plan.packed:
         pages = [(int(plan.pk_t[p]), int(plan.pk_s[p]), p)
                  for p in range(plan.n_pages)]
@@ -805,7 +851,14 @@ def simulate_route(plan: RoutePlan, x: np.ndarray,
             P = np.zeros((H, _LANE), np.float32)
             for d in range(D):
                 b = slice(d * _BLK, (d + 1) * _BLK)
-                Hm = np.take_along_axis(X[s], F1[p, b], axis=1)
+                if G == 1:
+                    Hm = np.take_along_axis(X[s], F1[p, b], axis=1)
+                else:
+                    Hm = np.zeros((_BLK, _LANE), np.float32)
+                    for i in range(G):
+                        Hi = np.take_along_axis(X[s * G + i],
+                                                F1[p, b], axis=1)
+                        Hm += Hi * (SEL[p, b] == i)
                 Sm = np.take_along_axis(Hm.T, F2[p, b], axis=1)
                 P[b] = np.take_along_axis(Sm.T, F3[p, b], axis=1)
             P *= VALS[p]
@@ -844,12 +897,28 @@ def _take_lane(src, idx):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP, fill_value=0.0)
 
 
-def _blocked_takes(X2, fp, D):
+def _blocked_takes(X2, fp, D, G=1):
     """The 2-corner-turn routing for all D dest blocks in 3 batched
     lane gathers (vs 3*D small ones — per-step op issues bound these
-    kernels; the source tile is replicated per block)."""
-    Xr = X2 if D == 1 else jnp.concatenate([X2] * D, axis=0)
-    H = _take_lane(Xr, fp & jnp.int32(0xFF))
+    kernels; the source tile is replicated per block).
+
+    ``G > 1`` (r5b slice grouping): ``X2`` stacks G source slices
+    (G*128 rows); the per-slot slice select rides bits 24-26 of the
+    table word and masks G stage-1 gathers. Coverage-bound plans
+    (merge plans, spill levels, banded structures) trade ~G-fold
+    fewer pages for the extra gathers."""
+    if G == 1:
+        Xr = X2 if D == 1 else jnp.concatenate([X2] * D, axis=0)
+        H = _take_lane(Xr, fp & jnp.int32(0xFF))
+    else:
+        sel = fp >> jnp.int32(24)
+        H = jnp.zeros((D * _BLK, _LANE), jnp.float32)
+        for i in range(G):
+            Xi = jax.lax.slice(X2, (i * _BLK, 0),
+                               ((i + 1) * _BLK, _LANE))
+            Xr = Xi if D == 1 else jnp.concatenate([Xi] * D, axis=0)
+            Hi = _take_lane(Xr, fp & jnp.int32(0xFF))
+            H = H + Hi * (sel == jnp.int32(i)).astype(jnp.float32)
     Ht = jnp.swapaxes(H.reshape(D, _BLK, _LANE), 1, 2)
     Sm = _take_lane(Ht.reshape(D * _BLK, _LANE),
                     (fp >> jnp.int32(8)) & jnp.int32(0xFF))
@@ -878,11 +947,15 @@ def _route_kernel(x_ref, fp_ref, v_ref, o_ref, *, K, R, D):
 @partial(jax.jit, static_argnames=("S",))
 def _prep_x(x, *, S):
     """Column-major slice layout of the operand, shared by every
-    route level of one SpMV (they all have the same ncols/S)."""
-    X = jnp.zeros((S * _SLICE_COLS,), jnp.float32)
+    route level of one SpMV (they all have the same ncols/S).
+
+    Padded to a multiple of 8 slices so grouped levels (G in {2,4,8})
+    can read (G*128, 128) blocks without overrunning the array."""
+    S8 = -(-S // 8) * 8
+    X = jnp.zeros((S8 * _SLICE_COLS,), jnp.float32)
     X = X.at[: x.shape[0]].set(x.astype(jnp.float32))
-    X = X.reshape(S, _LANE, _BLK).transpose(0, 2, 1)
-    return X.reshape(S * _BLK, _LANE)
+    X = X.reshape(S8, _LANE, _BLK).transpose(0, 2, 1)
+    return X.reshape(S8 * _BLK, _LANE)
 
 
 @partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
@@ -919,9 +992,9 @@ def _route_call(FP, VALS, X, *, K, R, H, T, S, RPP, nrows,
 
 
 def _route_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref, o_ref,
-                     *, K, R, D):
+                     *, K, R, D, G):
     p = pl.program_id(0)
-    P = _blocked_takes(x_ref[...], fp_ref[0], D) * v_ref[0]
+    P = _blocked_takes(x_ref[...], fp_ref[0], D, G) * v_ref[0]
     acc = jnp.zeros((R, _LANE), jnp.float32)
     for k in range(K):
         acc = acc + P[k * R:(k + 1) * R]
@@ -935,21 +1008,23 @@ def _route_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref, o_ref,
         o_ref[0] = o_ref[0] + acc
 
 
-@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
+@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP", "G",
                                    "interpret"))
 def _route_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K, R, H, T, S,
-                   RPP, interpret=False):
+                   RPP, G=1, interpret=False):
     """Active-page packed variant of ``_route_call``: 1-D grid over
     the stored pages; dest step / source slice ride scalar-prefetch
     arrays (r5 — merge plans and banded structures activate few of the
-    dense (T, S) grid's pages)."""
+    dense (T, S) grid's pages). ``G > 1``: each page reads a stacked
+    (G*128, 128) slice-group block (pk_s holds group ids)."""
     _z = lambda: jnp.int32(0)
     n_pages = int(FP.shape[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_pages,),
         in_specs=[
-            pl.BlockSpec((_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
+            pl.BlockSpec((G * _BLK, _LANE),
+                         lambda p, sl, *_: (sl[p], _z()),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
                          memory_space=pltpu.VMEM),
@@ -961,7 +1036,7 @@ def _route_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K, R, H, T, S,
             memory_space=pltpu.VMEM),
     )
     fn = pl.pallas_call(
-        partial(_route_kernel_pk, K=K, R=R, D=H // _BLK),
+        partial(_route_kernel_pk, K=K, R=R, D=H // _BLK, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
         interpret=interpret,
@@ -1145,7 +1220,7 @@ def _route_spmm_call(FP, VALS, X, *, K_ell, R, H, T, S, RPP, ncol,
 
 
 def _route_spmm_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref,
-                          o_ref, *, K_ell, R, D, ncol, chunk):
+                          o_ref, *, K_ell, R, D, ncol, chunk, G):
     p = pl.program_id(0)
     fp = fp_ref[0]
     v = v_ref[0]
@@ -1153,22 +1228,35 @@ def _route_spmm_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref,
         f1 = fp & jnp.int32(0xFF)
         f2 = (fp >> jnp.int32(8)) & jnp.int32(0xFF)
         f3 = (fp >> jnp.int32(16)) & jnp.int32(0xFF)
+        sel = fp >> jnp.int32(24)
         tiles = []
         for d in range(D):
             b = slice(d * _BLK, (d + 1) * _BLK)
             tiles.append(tuple(
                 jnp.concatenate([f[b]] * chunk, axis=0)
-                for f in (f1, f2, f3)))
+                for f in (f1, f2, f3))
+                + ((jnp.concatenate([sel[b]] * chunk, axis=0),)
+                   if G > 1 else (None,)))
     for c0 in range(0, ncol, chunk):
-        X3 = x_ref[0, c0:c0 + chunk]                  # (CH, 128, 128)
+        X3 = x_ref[:, c0:c0 + chunk]                  # (G, CH, 128, 128)
         if chunk == 1:
-            P = jnp.stack([_blocked_takes(X3[0], fp, D) * v], axis=0)
+            xx = (X3[0, 0] if G == 1
+                  else X3[:, 0].reshape(G * _BLK, _LANE))
+            P = jnp.stack([_blocked_takes(xx, fp, D, G) * v], axis=0)
         else:
-            src = X3.reshape(chunk * _BLK, _LANE)
             zs = []
             for d in range(D):
-                f1t, f2t, f3t = tiles[d]
-                Hm = _take_lane(src, f1t)
+                f1t, f2t, f3t, selt = tiles[d]
+                if G == 1:
+                    src = X3[0].reshape(chunk * _BLK, _LANE)
+                    Hm = _take_lane(src, f1t)
+                else:
+                    Hm = jnp.zeros((chunk * _BLK, _LANE), jnp.float32)
+                    for i in range(G):
+                        src = X3[i].reshape(chunk * _BLK, _LANE)
+                        Hi = _take_lane(src, f1t)
+                        Hm = Hm + Hi * (selt == jnp.int32(i)
+                                        ).astype(jnp.float32)
                 Ht = jnp.swapaxes(Hm.reshape(chunk, _BLK, _LANE),
                                   1, 2).reshape(chunk * _BLK, _LANE)
                 Sm = _take_lane(Ht, f2t)
@@ -1192,14 +1280,15 @@ def _route_spmm_kernel_pk(s_ref, t_ref, fi_ref, x_ref, fp_ref, v_ref,
 
 
 @partial(jax.jit, static_argnames=("K_ell", "R", "H", "T", "S", "RPP",
-                                   "ncol", "interpret"))
+                                   "ncol", "G", "interpret"))
 def _route_spmm_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K_ell, R,
-                        H, T, S, RPP, ncol, interpret=False):
+                        H, T, S, RPP, ncol, G=1, interpret=False):
     """Active-page packed SpMM call (see ``_route_call_pk``)."""
     X = X.astype(jnp.float32)
-    Xp = jnp.zeros((S * _SLICE_COLS, ncol), jnp.float32)
+    S8 = -(-S // 8) * 8  # grouped levels read (G, ...) stacked blocks
+    Xp = jnp.zeros((S8 * _SLICE_COLS, ncol), jnp.float32)
     Xp = Xp.at[: X.shape[0]].set(X)
-    Xp = Xp.reshape(S, _LANE, _BLK, ncol).transpose(0, 3, 2, 1)
+    Xp = Xp.reshape(S8, _LANE, _BLK, ncol).transpose(0, 3, 2, 1)
 
     _z = lambda: jnp.int32(0)
     import os
@@ -1215,7 +1304,7 @@ def _route_spmm_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K_ell, R,
         num_scalar_prefetch=3,
         grid=(n_pages,),
         in_specs=[
-            pl.BlockSpec((1, ncol, _BLK, _LANE),
+            pl.BlockSpec((G, ncol, _BLK, _LANE),
                          lambda p, sl, *_: (sl[p], _z(), _z(), _z()),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, _LANE), lambda p, *_: (p, _z(), _z()),
@@ -1230,12 +1319,13 @@ def _route_spmm_call_pk(FP, VALS, X, pk_s, pk_t, pk_first, *, K_ell, R,
     )
     fn = pl.pallas_call(
         partial(_route_spmm_kernel_pk, K_ell=K_ell, R=R, D=H // _BLK,
-                ncol=ncol, chunk=chunk),
+                ncol=ncol, chunk=chunk, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, ncol, R, _LANE), jnp.float32),
         interpret=interpret,
+        # the G*ncol source panes push past the default 64 MB budget
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 << 20),
+            vmem_limit_bytes=(96 if G > 1 else 64) << 20),
     )
     Y = fn(pk_s, pk_t, pk_first, Xp, FP, VALS)
     Y = Y.transpose(0, 2, 3, 1).reshape(T, R * _LANE, ncol)
@@ -1295,7 +1385,8 @@ def _route_spmm_impl(plan: RoutePlan, X, values, interpret,
         Yr = _route_spmm_call_pk(plan.FP, VALS, X, pk_s, pk_t, pk_first,
                                  K_ell=plan.K, R=plan.R, H=plan.H,
                                  T=plan.T, S=plan.S, RPP=plan.RPP,
-                                 ncol=ncol, interpret=interpret)
+                                 ncol=ncol, G=plan.G,
+                                 interpret=interpret)
     else:
         Yr = _route_spmm_call(plan.FP, VALS, X,
                               K_ell=plan.K, R=plan.R, H=plan.H,
@@ -1360,7 +1451,8 @@ def _route_spmv_impl(plan: RoutePlan, x, values, interpret, _X=None,
         pk_s, pk_t, pk_first = _pk_arrays(plan)
         yr = _route_call_pk(FPx, VALS, X, pk_s, pk_t, pk_first,
                             K=plan.K, R=plan.R, H=plan.H, T=plan.T,
-                            S=plan.S, RPP=plan.RPP, interpret=interpret)
+                            S=plan.S, RPP=plan.RPP, G=plan.G,
+                            interpret=interpret)
     else:
         yr = _route_call(FPx, VALS, X,
                          K=plan.K, R=plan.R, H=plan.H, T=plan.T,

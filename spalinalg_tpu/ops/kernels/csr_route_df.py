@@ -73,13 +73,17 @@ def _route_kernel_df(xh_ref, xl_ref, fp_ref, vh_ref, vl_ref,
 
 @partial(jax.jit, static_argnames=("S",))
 def _prep_x_df(x, *, S):
-    """(Xh, Xl) column-slice tiles from an f64 operand (exact split)."""
-    xf = jnp.zeros((S * _SLICE_COLS,), jnp.float64).at[: x.shape[0]].set(
+    """(Xh, Xl) column-slice tiles from an f64 operand (exact split).
+
+    Padded to a multiple of 8 slices like ``csr_route._prep_x`` so
+    grouped levels can read stacked (G*128, 128) blocks."""
+    S8 = -(-S // 8) * 8
+    xf = jnp.zeros((S8 * _SLICE_COLS,), jnp.float64).at[: x.shape[0]].set(
         x.astype(jnp.float64))
     xh, xl = split_df(xf)
     def tile(v):
-        return v.reshape(S, _LANE, _BLK).transpose(0, 2, 1).reshape(
-            S * _BLK, _LANE)
+        return v.reshape(S8, _LANE, _BLK).transpose(0, 2, 1).reshape(
+            S8 * _BLK, _LANE)
     return tile(xh), tile(xl)
 
 
@@ -114,11 +118,11 @@ def _route_call_df(FP, Vh, Vl, Xh, Xl, *, K, R, H, T, S, RPP,
 
 
 def _route_kernel_df_pk(s_ref, t_ref, fi_ref, xh_ref, xl_ref, fp_ref,
-                        vh_ref, vl_ref, oh_ref, ol_ref, *, K, R, D):
+                        vh_ref, vl_ref, oh_ref, ol_ref, *, K, R, D, G):
     p = pl.program_id(0)
     fp = fp_ref[0]
-    Zh = _blocked_takes(xh_ref[...], fp, D)
-    Zl = _blocked_takes(xl_ref[...], fp, D)
+    Zh = _blocked_takes(xh_ref[...], fp, D, G)
+    Zl = _blocked_takes(xl_ref[...], fp, D, G)
     ph, pe = _two_prod(Zh, vh_ref[0])
     plo = pe + Zh * vl_ref[0] + Zl * vh_ref[0]
     acc_h = ph[0:R]
@@ -140,15 +144,15 @@ def _route_kernel_df_pk(s_ref, t_ref, fi_ref, xh_ref, xl_ref, fp_ref,
         oh_ref[0] = s2
 
 
-@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP",
+@partial(jax.jit, static_argnames=("K", "R", "H", "T", "S", "RPP", "G",
                                    "interpret"))
 def _route_call_df_pk(FP, Vh, Vl, Xh, Xl, pk_s, pk_t, pk_first, *, K,
-                      R, H, T, S, RPP, interpret=False):
+                      R, H, T, S, RPP, G=1, interpret=False):
     """Active-page packed DF call (see csr_route._route_call_pk)."""
     _z = lambda: jnp.int32(0)
     n_pages = int(FP.shape[0])
     xspec = lambda: pl.BlockSpec(
-        (_BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
+        (G * _BLK, _LANE), lambda p, sl, *_: (sl[p], _z()),
         memory_space=pltpu.VMEM)
     stream = lambda: pl.BlockSpec(
         (1, H, _LANE), lambda p, *_: (p, _z(), _z()),
@@ -163,7 +167,7 @@ def _route_call_df_pk(FP, Vh, Vl, Xh, Xl, pk_s, pk_t, pk_first, *, K,
         out_specs=(ospec(), ospec()),
     )
     fn = pl.pallas_call(
-        partial(_route_kernel_df_pk, K=K, R=R, D=H // _BLK),
+        partial(_route_kernel_df_pk, K=K, R=R, D=H // _BLK, G=G),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32),
                    jax.ShapeDtypeStruct((T, R, _LANE), jnp.float32)),
@@ -186,7 +190,8 @@ def _df_route_call(plan, Vh, Vl, Xh, Xl, interpret):
         return _route_call_df_pk(plan.FP, Vh, Vl, Xh, Xl, pk_s, pk_t,
                                  pk_first, K=plan.K, R=plan.R,
                                  H=plan.H, T=plan.T, S=plan.S,
-                                 RPP=plan.RPP, interpret=interpret)
+                                 RPP=plan.RPP, G=plan.G,
+                                 interpret=interpret)
     return _route_call_df(plan.FP, Vh, Vl, Xh, Xl, K=plan.K, R=plan.R,
                           H=plan.H, T=plan.T, S=plan.S, RPP=plan.RPP,
                           interpret=interpret)

@@ -117,9 +117,11 @@ class PairRoutePlan:
     retry: list
     spill: Tuple[np.ndarray, np.ndarray, np.ndarray]  # gid, a_idx, b_idx
     spill_frac: float
-    tail_merge: object = None  # csr_route.RoutePlan folding the vrow +
-                               # retry tail into y (one routed 0/1 SpMV
-                               # instead of a ~200k XLA scatter, r5)
+    tail_merge: object = None  # (stage1, stage2) RoutePlans folding the
+                               # vrow + retry tail into y: tail -> its
+                               # distinct dests -> y (two routed 0/1
+                               # SpMVs replace a ~200k XLA scatter; the
+                               # compact stage kills the coverage cost)
 
     @property
     def n_pages(self) -> int:
@@ -357,6 +359,15 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
     # tail of ~200k elements (8 us/op + 9 ns/element). As a 0/1 routed
     # SpMV over the concatenated tail vector it rides the same
     # lane-route network at ~0.7 us/page.
+    #
+    # r5b: TWO-STAGE compact fold. A direct tail->y merge is coverage
+    # -bound: its dest space is all of y (47 steps on the bench) and
+    # its ~200k sources scatter over every slice — 206 active pages.
+    # Stage 1 sums the tail into its DISTINCT destinations (a ~150k-row
+    # compact space: 3 steps, and the sources are g-sorted vrow/retry
+    # runs, so each step draws from few slices); stage 2 merges the
+    # compact partials into y with sources SORTED BY DEST (~1 slice per
+    # step). ~65 pages replace 206 on the bench case.
     tail_dst_parts = [vrow_src] + [g for _s, g in retry]
     tail_merge = None
     tail_n = int(sum(p.size for p in tail_dst_parts))
@@ -367,12 +378,22 @@ def build_pair_route_plan(gid, a_idx, b_idx, n_out: int, nnz_a: int,
         pos = np.arange(tail_n, dtype=np.int64)
         order = np.lexsort((pos, dst))
         dst_s, pos_s = dst[order], pos[order]
-        ptr_m = np.zeros(n_out + 1, np.int64)
-        np.add.at(ptr_m, dst_s + 1, 1)
-        np.cumsum(ptr_m, out=ptr_m)
-        tail_merge = build_route_plan(
-            ptr_m, pos_s, np.ones(tail_n, np.float32), n_out, tail_n,
+        uniq, inv = np.unique(dst_s, return_inverse=True)
+        ndist = int(uniq.size)
+        ptr1 = np.zeros(ndist + 1, np.int64)
+        np.add.at(ptr1, inv + 1, 1)
+        np.cumsum(ptr1, out=ptr1)
+        stage1 = build_route_plan(
+            ptr1, pos_s, np.ones(tail_n, np.float32), ndist, tail_n,
             seed=seed + 23, _depth=3, _compact_ok=False)
+        ptr2 = np.zeros(n_out + 1, np.int64)
+        np.add.at(ptr2, uniq + 1, 1)
+        np.cumsum(ptr2, out=ptr2)
+        stage2 = build_route_plan(
+            ptr2, np.arange(ndist, dtype=np.int64),
+            np.ones(ndist, np.float32), n_out, ndist,
+            seed=seed + 29, _depth=3, _compact_ok=False)
+        tail_merge = (stage1, stage2)
 
     return PairRoutePlan(
         n_out=n_out, nnz_a=nnz_a, nnz_b=nnz_b, n_terms=n_terms,
@@ -607,10 +628,13 @@ def pair_route_apply(plan: PairRoutePlan, a_vals, b_vals, *,
     if val_parts and plan.tail_merge is not None:
         from .csr_route import _merge_ones, _route_spmv_impl
 
+        stage1, stage2 = plan.tail_merge
+        fp1, fp2 = tail_FP if tail_FP is not None else (None, None)
         tail = jnp.concatenate(val_parts)
-        y = y + _route_spmv_impl(plan.tail_merge, tail,
-                                 _merge_ones(plan.tail_merge),
-                                 interpret, _FP=tail_FP)
+        yc = _route_spmv_impl(stage1, tail, _merge_ones(stage1),
+                              interpret, _FP=fp1)
+        y = y + _route_spmv_impl(stage2, yc, _merge_ones(stage2),
+                                 interpret, _FP=fp2)
     elif idx_parts:
         tail_idx = jnp.asarray(np.concatenate(idx_parts))
         y = y.at[tail_idx].add(jnp.concatenate(val_parts))

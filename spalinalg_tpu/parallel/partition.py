@@ -247,7 +247,7 @@ class DistCsr:
 
         fn = jax.jit(_numeric, out_shardings=spec)
         if pr is not None:
-            tabs = ((pr.FPP, pr.tail_merge.FP)
+            tabs = ((pr.FPP, (pr.tail_merge[0].FP, pr.tail_merge[1].FP))
                     if pr.tail_merge is not None else (pr.FPP,))
             cvals = fn(self.values, other.values, *tabs)
         else:

@@ -40,7 +40,7 @@ import numpy as np
 
 __all__ = ["plan_cache_dir", "load_or_build"]
 
-_VERSION = 7  # bump when plan layouts or build algorithms change
+_VERSION = 8  # bump when plan layouts or build algorithms change
 _native_hash_cache = None
 
 
@@ -203,6 +203,10 @@ def _evict(cdir) -> None:
 def _to_host(obj, jax_fields, recurse):
     # missing names are fine: recursed child plans may be a different
     # plan class with different device-array fields
+    if isinstance(obj, (tuple, list)):  # e.g. a (stage1, stage2) pair
+        for e in obj:
+            _to_host(e, jax_fields, recurse)
+        return obj
     for f in jax_fields:
         v = getattr(obj, f, None)
         if v is not None:
@@ -225,6 +229,10 @@ def _to_device(obj, jax_fields, recurse):
     import jax
     import jax.numpy as jnp
 
+    if isinstance(obj, (tuple, list)):
+        for e in obj:
+            _to_device(e, jax_fields, recurse)
+        return obj
     with jax.ensure_compile_time_eval():
         for f in jax_fields:
             v = getattr(obj, f, None)
