@@ -243,15 +243,24 @@ void spal_route_color(const int64_t* panel_ptr, int64_t n_panels,
     for (int64_t e = lo; e < hi; ++e) {
       ok[e] = 0;
       int start = (int)((e * 2654435761u) & (C - 1));
+      // Prefer REUSING an existing same-payload cell over opening a
+      // fresh one: under heavy multicast (SpGEMM route a feeds runs
+      // of consecutive output slots from one source element) opening
+      // duplicates exhausts the hot source rows' 128 cells and later
+      // entries find no (row-compatible AND dest-free) color — 3.5 %
+      // of bench terms failed round 0 this way.
+      int cfree = -1;
       for (int d = 0; d < C; ++d) {
         int c = (start + d) & (C - 1);
         if (gcol[g[e] * C + c] != -1) continue;
         int64_t fc = f[e] * C + c;
-        if (fcnt[fc] == 0 || fpay[fc] == sh[e]) {
+        if (fcnt[fc] > 0 && fpay[fc] == sh[e]) {
           place(e, c);
           break;
         }
+        if (cfree < 0 && fcnt[fc] == 0) cfree = c;
       }
+      if (!ok[e] && cfree >= 0) place(e, cfree);
       if (!ok[e]) failed.push_back(e);
     }
 

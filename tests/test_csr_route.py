@@ -95,13 +95,18 @@ class TestRoutePlan:
         """r5: spill levels with few distinct rows re-index rows
         densely and merge their partials back through one routed
         merge call (plan.merge_plan) — correctness over the whole
-        compact + merge machinery."""
+        compact + merge machinery. Row lengths are heavily skewed so
+        overflow-to-spill still produces a recursive level now that
+        the payload-reuse coloring (r5b) routes uniform structures
+        without residue."""
         n, m = 4096, 32768
-        row_nnz = 24
-        ind = np.sort(rng.integers(0, m, size=(n, row_nnz)), axis=1)
-        indptr = np.arange(n + 1, dtype=np.int64) * row_nnz
+        lens = np.minimum(rng.zipf(1.6, size=n) * 4, 2000)
+        ind = [np.sort(rng.choice(m, size=min(int(l), m), replace=False))
+               for l in lens]
+        indptr = np.concatenate([[0],
+                                 np.cumsum([len(i) for i in ind])])
         A = sps.csr_matrix(
-            (rng.normal(size=n * row_nnz), ind.reshape(-1), indptr),
+            (rng.normal(size=indptr[-1]), np.concatenate(ind), indptr),
             shape=(n, m))
         A.sum_duplicates()
         A.sort_indices()
