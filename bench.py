@@ -52,8 +52,9 @@ _seed = itertools.count(1)
 #   (a) emits the one-line JSON IMMEDIATELY after the headline and
 #       RE-EMITS an updated line after every secondary (last line wins
 #       for the parser);
-#   (b) arms the watchdog well inside the driver budget (default
-#       1200 s, down from 3300);
+#   (b) arms the watchdog inside the driver budget (default 1550 s,
+#       down from 3300 — safe because the incremental lines in (a)
+#       mean even an EXTERNAL kill leaves a parseable last line);
 #   (c) bounds the total contention-defense spend (waits + re-measures)
 #       globally instead of per metric;
 #   (d) skips a remaining secondary (flagged "skipped_budget") when the
@@ -61,7 +62,7 @@ _seed = itertools.count(1)
 # ---------------------------------------------------------------------
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("BENCH_TIMEOUT_S", "1200"))
+_BUDGET_S = float(os.environ.get("BENCH_TIMEOUT_S", "1550"))
 
 
 def _time_left() -> float:
