@@ -27,4 +27,7 @@ EOF
 echo "== multichip dry run (8 virtual devices) =="
 DRYRUN_DEVICES=8 python __graft_entry__.py
 
+echo "== docs book check (structure + python fences) =="
+python tools/check_docs.py
+
 echo "CI OK"
