@@ -170,6 +170,17 @@ class DiaMatrix:
                 and dia_stream_eligible(self._offsets, self._nrows,
                                         self._ncols, self._data.dtype))
 
+    def _df_eligible(self, x) -> bool:
+        from ..config import current_config
+        from ..ops.kernels.dia_df import dia_df_eligible
+
+        return (current_config().use_pallas
+                and jax.default_backend() == "tpu"
+                and x.ndim == 1
+                and self._data.dtype == jnp.float64
+                and dia_df_eligible(self._offsets, self._nrows,
+                                    self._ncols, self._data.dtype))
+
     def _matvec(self, x: jax.Array) -> jax.Array:
         if self._stream_eligible(x):
             # single-pass Pallas kernel: data, x, y each read/written
@@ -178,6 +189,15 @@ class DiaMatrix:
 
             return dia_spmv(self._offsets, self._data, x,
                             self._nrows, self._ncols)
+        if self._df_eligible(x):
+            # f64 stencils: double-float (hi, lo) planes + error-free
+            # f32 transforms in Pallas — ~1e-15 relative vs the f64
+            # oracle at 8 B/nnz streaming traffic, vs XLA-emulated f64
+            # at ~0.1 % of roofline
+            from ..ops.kernels.dia_df import dia_spmv_df
+
+            return dia_spmv_df(self._offsets, self._data, x,
+                               self._nrows, self._ncols)
         return self._matvec_xla(x)
 
     def _matvec_xla(self, x: jax.Array) -> jax.Array:
