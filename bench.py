@@ -850,6 +850,62 @@ def main() -> None:
                                frac_key="bsr_f64df_roofline_frac",
                                path=df_path))
 
+    def sec_dia_df():
+        # f64 stencil path: the double-float streaming DIA kernel on
+        # (hi, lo) planes. The loop stays at the PLANE level — one
+        # XLA-emulated f64 pass over an n=2^21 vector costs ~16 ms,
+        # 60x the kernel (docs/performance.md) — with an f32 scale
+        # normalisation that keeps the pair a valid double-float.
+        import jax.numpy as jnp
+
+        if jnp.zeros(1, jnp.float64).dtype != jnp.float64:
+            return
+        from spalinalg_tpu.ops.kernels.dia_df import (
+            _df_planes, _dia_df_planes_call, split_x_planes)
+        from spalinalg_tpu.ops.kernels.dia_stream import _LANE, _pack
+
+        n = 1 << 21 if on_tpu else 1 << 14
+        offs = (-300, -130, -1, 0, 1, 7, 129, 250, 333)
+        D = len(offs)
+        data = jax.random.normal(jax.random.PRNGKey(4), (D, n),
+                                 jnp.float64)
+        dx = jax.random.normal(jax.random.PRNGKey(5), (n,), jnp.float64)
+        shifts, T, lo, nsub = _pack(np.asarray(offs), n, n)
+        dh3, dl3 = _df_planes(data, n, T)
+        xh2, xl2 = split_x_planes(dx, np.asarray(offs), n, n)
+        xl2 = jax.block_until_ready(xl2)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def dfloop(dh3, dl3, xh0, xl0, k):
+            def it(i, c):
+                xh, xl = c
+                yh, yl = _dia_df_planes_call(
+                    xh, xl, dh3, dl3, shifts=shifts, T=T,
+                    interpret=not on_tpu)
+                s = jnp.max(jnp.abs(yh)) + 1.0
+                zh = jnp.zeros((nsub * _LANE,), jnp.float32).at[
+                    lo: lo + n].set((yh / s).reshape(-1)[:n]
+                                    ).reshape(nsub, _LANE)
+                zl = jnp.zeros((nsub * _LANE,), jnp.float32).at[
+                    lo: lo + n].set((yl / s).reshape(-1)[:n]
+                                    ).reshape(nsub, _LANE)
+                return (zh, zl)
+            return jax.lax.fori_loop(0, k, it, (xh0, xl0))[0]
+
+        def df_loop_fn(xh, k):
+            return dfloop(dh3, dl3, xh, xl2, k)
+
+        nnz_d = sum(min(n + min(o, 0), n - max(o, 0)) for o in offs)
+        roof = hbm / (8.0 + 16.0 / D)
+        per, diag = _measure_guarded(
+            None, xh2, ks=(32, 160, 288) if on_tpu else (1, 2, 3),
+            reps=reps, max_rate=roof / nnz_d if on_tpu else None,
+            loop_fn=df_loop_fn)
+        secondary.update(_emit("dia_f64df_spmv_nnz_per_s", nnz=nnz_d,
+                               per=per, diag=diag, roof_rate=roof,
+                               frac_key="dia_f64df_roofline_frac",
+                               path="pallas_df_stream"))
+
     def sec_csr_f64():
         # Reference's primary scalar (VERDICT r2 missing #2); runs the
         # double-float CSR route when eligible, XLA-emulated f64
@@ -900,6 +956,7 @@ def main() -> None:
     section("bsr_f64df", 110, sec_bsr_f64df)
     section("chol", 130, lambda: bench_chol(on_tpu, secondary))
     section("dia", 90, sec_dia)
+    section("dia_df", 110, sec_dia_df)
 
     # End-of-run headline self-heal: if the opening measurement was
     # taken under contention (an external relay client), a full
